@@ -1,0 +1,128 @@
+"""Formula-engine tests, modeled on the reference's test-08-glFormula.R:
+partition into bart/fixed/random varnames, '.'-expansion, interactions,
+offset removal, nested factors, factor one-hot in the bart matrix."""
+
+import numpy as np
+import pytest
+
+from stan4bart_tpu.formula import build_model_frame, parse_formula
+from stan4bart_tpu.utils.friedman import friedman_dataframe, generate_friedman_data
+
+
+@pytest.fixture(scope="module")
+def df():
+    return friedman_dataframe(
+        generate_friedman_data(100, ranef=True, causal=True)
+    )
+
+
+def test_parse_partition(df):
+    p = parse_formula(
+        "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) + (1 | g.2)",
+        columns=list(df.keys()),
+    )
+    assert p.response == "y"
+    assert set(p.bart_terms) == {f"X{i}" for i in range(1, 11) if i != 4}
+    assert p.fixed_terms == ["X4", "z"]
+    assert len(p.random_terms) == 2
+    assert p.random_terms[0].group == "g.1"
+    assert p.random_terms[0].lhs_terms == ["X4"]
+    assert p.random_terms[0].lhs_intercept
+    assert p.random_terms[1].group == "g.2"
+    assert p.random_terms[1].lhs_terms == []
+
+
+def test_parse_interactions_and_star():
+    p = parse_formula("y ~ bart(x1) + a*b + c:d")
+    assert p.fixed_terms == ["a", "b", "a:b", "c:d"]
+
+
+def test_parse_offset():
+    p = parse_formula("y ~ bart(x1) + x2 + offset(o)")
+    assert p.offset_terms == ["o"]
+    assert p.fixed_terms == ["x2"]
+
+
+def test_parse_nested_group():
+    p = parse_formula("y ~ bart(x1) + (1 | g.1:g.2)")
+    assert p.random_terms[0].group == "g.1:g.2"
+
+
+def test_model_frame_shapes(df):
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) + (1 | g.2)",
+        df,
+    )
+    n = len(df["y"])
+    assert mf.X.shape == (n, 2)
+    assert mf.bart_X.shape == (n, 9)
+    # X is centered, no intercept column
+    assert np.allclose(mf.X.mean(axis=0), 0.0, atol=1e-12)
+    assert "(Intercept)" not in mf.X_names
+    # lme4 dims
+    assert mf.p == [2, 1]
+    assert mf.l == [5, 8]
+    assert mf.q == 2 * 5 + 1 * 8
+    assert mf.len_theta_L == (2 + 1) + 1
+
+
+def test_factor_onehot_in_bart():
+    n = 30
+    rng = np.random.default_rng(0)
+    data = {
+        "y": rng.normal(size=n),
+        "x1": rng.normal(size=n),
+        "f": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+    }
+    mf = build_model_frame("y ~ bart(x1 + f) + f", data)
+    # bart: full one-hot (3 cols); fixed: treatment contrasts (2 cols)
+    assert mf.bart_names == ["x1", "fa", "fb", "fc"]
+    assert mf.X_names == ["fb", "fc"]
+    onehot = mf.bart_X[:, 1:]
+    assert np.all(onehot.sum(axis=1) == 1.0)
+
+
+def test_na_omit():
+    n = 20
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=n)
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    x1[3] = np.nan
+    x2[7] = np.nan
+    mf = build_model_frame("y ~ bart(x1) + x2", {"y": y, "x1": x1, "x2": x2})
+    assert mf.N == n - 2
+    assert not mf.complete_rows[3] and not mf.complete_rows[7]
+
+
+def test_test_frame_roundtrip(df):
+    mf = build_model_frame(
+        "y ~ bart(X1 + X2 + X3) + X4 + (1 | g.1)", df
+    )
+    tf = mf.build_test_frame(df)
+    assert np.allclose(tf.X, mf.X)
+    assert np.allclose(tf.bart_X, mf.bart_X)
+    assert np.array_equal(tf.re_terms[0].group_idx, mf.re_terms[0].group_idx)
+
+
+def test_test_frame_new_levels():
+    n = 10
+    rng = np.random.default_rng(2)
+    data = {
+        "y": rng.normal(size=n),
+        "x": rng.normal(size=n),
+        "g": np.array(["a", "b"])[rng.integers(0, 2, n)],
+    }
+    mf = build_model_frame("y ~ bart(x) + (1 | g)", data)
+    new = dict(data)
+    new["g"] = np.array(["a", "c"] * 5)  # "c" is unseen
+    tf = mf.build_test_frame(new)
+    assert (tf.re_terms[0].group_idx == -1).sum() == 5
+
+
+def test_b_names(df):
+    mf = build_model_frame("y ~ bart(X1) + (1 + X4 | g.1)", df)
+    names = mf.b_names()
+    assert names[0] == "b[(Intercept) g.1:0]"
+    assert names[1] == "b[X4 g.1:0]"
+    assert len(names) == 10
