@@ -1,0 +1,168 @@
+"""Assemble a ParametricModel from a ModelFrame + user prior specs.
+
+Python equivalent of the reference's fit orchestration data assembly
+(/root/reference/R/stan4bart_fit.R:99-365): default priors, autoscaling by
+sd(y) and per-column sd(x), decov hyperparameter broadcasting, and the
+Stan-data dimension bookkeeping.  QR reparameterization is supported via
+``qr=True`` (stan4bart_fit.R:239-253) with the un-rotation matrix returned
+for draw post-processing (stan4bart_fit.R:560-570).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from stan4bart_tpu.formula.design import ModelFrame
+from stan4bart_tpu.models import priors as priors_mod
+from stan4bart_tpu.models.parametric import (
+    ParametricConfig,
+    ParametricModel,
+    decov_delta,
+)
+
+
+@dataclass
+class StanArgs:
+    """Resolved stan-side arguments (control defaults from
+    stan_sampler.cpp:420-458)."""
+
+    prior: dict | None = None
+    prior_aux: dict | None = None
+    prior_covariance: dict | None = None
+    qr: bool = False
+    init_r: float = 2.0
+    adapt_gamma: float = 0.05
+    adapt_delta: float = 0.8
+    adapt_kappa: float = 0.75
+    adapt_t0: float = 10.0
+    adapt_init_buffer: int = 75
+    adapt_term_buffer: int = 50
+    adapt_base_window: int = 25
+    max_treedepth: int = 10
+    stepsize: float = 1.0
+
+
+def _sd(x):
+    return float(np.std(x, ddof=1)) if len(x) > 1 else 1.0
+
+
+def build_parametric_model(
+    mf: ModelFrame,
+    family: str,
+    stan_args: StanArgs | dict | None = None,
+    dtype=jnp.float64,
+):
+    """-> (ParametricModel, resolved StanArgs, info dict with R_inv/x used)."""
+    if stan_args is None:
+        stan_args = StanArgs()
+    elif isinstance(stan_args, dict):
+        known = {k: v for k, v in stan_args.items()
+                 if k in StanArgs.__dataclass_fields__}
+        stan_args = StanArgs(**known)
+
+    is_binary = family == "binomial"
+    prior = (stan_args.prior if stan_args.prior is not None
+             else priors_mod.default_prior_coef())
+    prior_aux = (stan_args.prior_aux if stan_args.prior_aux is not None
+                 else priors_mod.default_prior_aux())
+    decov = (stan_args.prior_covariance
+             if stan_args.prior_covariance is not None
+             else priors_mod.decov())
+
+    xtemp = np.asarray(mf.X, dtype=np.float64)
+    y = np.asarray(mf.y, dtype=np.float64)
+    K = xtemp.shape[1]
+
+    ps = priors_mod.handle_glm_prior(prior, K, default_scale=2.5)
+    pa = priors_mod.handle_glm_prior(prior_aux, 1, default_scale=1.0)
+
+    # gaussian autoscaling by sd(y) (stan4bart_fit.R:206-214)
+    if not is_binary:
+        ss = _sd(y)
+        if ps["prior_dist"] > 0 and ps["prior_autoscale"]:
+            ps["prior_scale"] = ss * ps["prior_scale"]
+        if pa["prior_dist"] > 0 and pa["prior_autoscale"]:
+            pa["prior_scale"] = ss * pa["prior_scale"]
+
+    R_inv = None
+    if not stan_args.qr and ps["prior_dist"] > 0 and ps["prior_autoscale"]:
+        # per-column sd rescale (stan4bart_fit.R:218-232)
+        col_scale = np.ones(K)
+        for j in range(K):
+            if len(np.unique(xtemp[:, j])) > 1:
+                col_scale[j] = _sd(xtemp[:, j])
+        ps["prior_scale"] = np.maximum(1e-12,
+                                       ps["prior_scale"] / col_scale)
+    elif stan_args.qr and K > 0:
+        if K <= 1:
+            raise ValueError("'qr' requires multiple predictors "
+                             "(stan4bart_fit.R:241-242)")
+        Q, R = np.linalg.qr(xtemp)
+        if ps["prior_autoscale"]:
+            scale_factor = np.sqrt(xtemp.shape[0] - 1.0)
+        else:
+            scale_factor = np.diag(R)[-1]
+        R_inv = np.linalg.solve(R, np.eye(K)) * scale_factor
+        xtemp = Q * scale_factor
+
+    num_normals = ()
+    if ps["prior_dist"] == 7:
+        num_normals = tuple(int(v) for v in ps["prior_df"])
+
+    cfg = ParametricConfig(
+        N=mf.N,
+        K=K,
+        has_intercept=False,  # BART absorbs the level (stan4bart_fit.R:127)
+        is_binary=is_binary,
+        has_weights=mf.weights is not None and len(mf.weights) > 0,
+        prior_dist=int(ps["prior_dist"]),
+        prior_dist_for_intercept=0,
+        prior_dist_for_aux=0 if is_binary else int(pa["prior_dist"]),
+        t=len(mf.re_terms),
+        p=tuple(mf.p),
+        l=tuple(mf.l),
+        num_normals=num_normals,
+    )
+
+    t = cfg.t
+    concentration = np.broadcast_to(
+        np.atleast_1d(decov["concentration"]), (cfg.len_concentration,)
+    ).astype(np.float64) if cfg.len_concentration else np.zeros(0)
+    regularization = np.broadcast_to(
+        np.atleast_1d(decov["regularization"]), (cfg.len_regularization,)
+    ).astype(np.float64) if cfg.len_regularization else np.zeros(0)
+
+    hyper = dict(
+        prior_mean=ps["prior_mean"],
+        prior_scale=np.asarray(ps["prior_scale"], dtype=np.float64),
+        prior_df=ps["prior_df"],
+        global_prior_df=ps["global_prior_df"],
+        global_prior_scale=ps["global_prior_scale"],
+        slab_df=ps["slab_df"],
+        slab_scale=ps["slab_scale"],
+        prior_mean_for_aux=float(np.atleast_1d(pa["prior_mean"])[0]),
+        prior_scale_for_aux=(
+            0.0 if is_binary
+            else float(np.atleast_1d(pa["prior_scale"])[0])
+        ),
+        prior_df_for_aux=float(np.atleast_1d(pa["prior_df"])[0]),
+        prior_mean_for_intercept=0.0,
+        prior_scale_for_intercept=1.0,
+        prior_df_for_intercept=1.0,
+        shape_decov=np.broadcast_to(
+            np.atleast_1d(decov["shape"]), (t,)).astype(np.float64),
+        scale_decov=np.broadcast_to(
+            np.atleast_1d(decov["scale"]), (t,)).astype(np.float64),
+        regularization=regularization,
+    )
+    hyper["delta"] = decov_delta(cfg, concentration)
+
+    z_structs = [(rt.lhs, rt.group_idx) for rt in mf.re_terms]
+    model = ParametricModel(cfg, xtemp, z_structs, hyper,
+                            weights=mf.weights, dtype=dtype)
+    info = dict(R_inv=R_inv, x=xtemp,
+                prior_summary=dict(coef=ps, aux=pa, covariance=decov))
+    return model, stan_args, info
