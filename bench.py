@@ -1,0 +1,113 @@
+"""Headline benchmark: aggregate draws/s on Friedman n=10k (BASELINE.json).
+
+Runs the flagship hybrid model — y ~ bart(x1..x10) + X4 + z +
+(1 + X4 | g.1) + (1 | g.2), continuous, 4 chains, 75 trees — on the default
+JAX backend (the real TPU chip under axon; CPU otherwise), timing the
+post-compile sampling phase only, and prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md: "published: {}") and R/stan4bart cannot run in this image, so
+the denominator is a documented ESTIMATE of the reference's single-core
+aggregate draws/s on this exact config: dbarts-class BART at n=10k with 75
+trees plus a Stan NUTS transition runs ~5 it/s/core (order-of-magnitude from
+dbarts-scale timings); the north-star target is >= 10x that (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
+
+N = 10_000
+CHAINS = 4
+WARMUP = 20          # enough to exercise the full warmup code path
+CHUNK = 25           # sampling iterations per compiled call
+N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
+NUM_TREES = 75
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.ops.bart import BartConfig
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    dtype = jnp.float32  # TPU-native precision for the bench
+    d = generate_friedman_data(N, ranef=True, causal=True)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
+        "+ (1 | g.2)",
+        df,
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", dtype=dtype)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
+        warmup=WARMUP, iterations=CHUNK, dtype=dtype,
+    )
+
+    def prep(key):
+        state = prog.init_state(key)
+
+        def body(state, it):
+            state, _ = prog.step(state, it, True)
+            return state, None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(WARMUP))
+        return state
+
+    def sample(state):
+        def body(state, it):
+            state, draw = prog.step(state, it, False)
+            return state, (draw.stan[0], draw.k)
+
+        return jax.lax.scan(body, state, jnp.arange(CHUNK))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
+    prep_fn = jax.jit(jax.vmap(prep))
+    sample_fn = jax.jit(jax.vmap(sample))
+
+    def with_retry(fn, *args, tries=3, label=""):
+        for attempt in range(tries):
+            try:
+                return jax.block_until_ready(fn(*args))
+            except Exception as e:  # remote-compile infra can be flaky
+                print(f"# {label} attempt {attempt + 1} failed: {e}",
+                      file=sys.stderr)
+                if attempt == tries - 1:
+                    raise
+                time.sleep(5)
+
+    states = with_retry(prep_fn, keys, label="prep")
+    states, _ = with_retry(sample_fn, states, label="sample-compile")
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(N_CHUNKS):
+        states, last = jax.block_until_ready(sample_fn(states))
+    elapsed = time.perf_counter() - t0
+
+    draws_per_s = CHAINS * CHUNK * N_CHUNKS / elapsed
+    lp = np.asarray(last[0])
+    assert np.all(np.isfinite(lp)), "non-finite lp in bench draws"
+
+    print(json.dumps({
+        "metric": "aggregate draws/s, Friedman n=10k, 4 chains, 75 trees",
+        "value": round(draws_per_s, 3),
+        "unit": "draws/s",
+        "vs_baseline": round(draws_per_s / REFERENCE_DRAWS_PER_S_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,298 @@
 """Top-level user API: ``stan4bart(formula, data, ...)``.
 
-Placeholder while the sampler stack comes up; filled in by the Gibbs
-coupling milestone (SURVEY.md section 7.2 step 4-5).
+Python/JAX equivalent of the reference entry point
+(/root/reference/R/stan4bart.R:1-253): validates arguments, builds model
+frames, auto-detects the family ({0,1} response -> probit, else gaussian;
+stan4bart.R:64-71), constructs the treatment counterfactual frame
+(:457-478), computes parametric initializations (ridge/IRLS stand-ins for
+the lmer -> lm -> intercept ladder, :130-200), assembles the samplers, runs
+chains (vmapped; sharded over a device mesh when one is configured), and
+packages draws into a :class:`~stan4bart_tpu.results.Stan4bartFit`.
 """
 
 from __future__ import annotations
 
+import math
+import warnings
 
-def stan4bart(*args, **kwargs):
-    raise NotImplementedError("fit API lands with the Gibbs coupling milestone")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stan4bart_tpu.formula.design import ModelFrame, build_model_frame
+from stan4bart_tpu.gibbs import OFFSET_TYPES, GibbsProgram
+from stan4bart_tpu.models.assemble import StanArgs, build_parametric_model
+from stan4bart_tpu.ops.bart import BartConfig
+from stan4bart_tpu.ops.nuts import NutsConfig
+
+
+def _detect_family(y: np.ndarray) -> str:
+    vals = np.unique(y[~np.isnan(y)])
+    if len(vals) <= 2 and np.all(np.isin(vals, (0.0, 1.0))):
+        return "binomial"
+    return "gaussian"
+
+
+def _dense_Z(mf: ModelFrame) -> np.ndarray:
+    """Dense (N, q) random-effects design in lme4 flat-b order."""
+    N = mf.N
+    Z = np.zeros((N, mf.q))
+    off = 0
+    for t in mf.re_terms:
+        for i in range(N):
+            g = t.group_idx[i]
+            if g >= 0:
+                Z[i, off + g * t.p : off + g * t.p + t.p] = t.lhs[i]
+        off += t.p * t.l
+    return Z
+
+
+def _init_parametric_fit(mf: ModelFrame, family: str):
+    """Stand-in for the reference's lmer/glmer -> lm/glm -> intercept-only
+    init ladder (stan4bart.R:130-200): ridge least squares (gaussian) or a
+    few probit IRLS steps (binomial) on [1, X, Z], returning
+    (bart_offset_init, sigma_init)."""
+    y = np.asarray(mf.y, dtype=np.float64)
+    N = mf.N
+    A = np.concatenate(
+        [np.ones((N, 1)), np.asarray(mf.X), _dense_Z(mf)], axis=1
+    )
+    lam = 1e-2
+    ridge = lam * np.eye(A.shape[1])
+    ridge[0, 0] = 1e-8  # do not shrink the intercept
+    try:
+        if family == "gaussian":
+            w = np.linalg.solve(A.T @ A + ridge, A.T @ y)
+            fitted = A @ w
+            resid = y - fitted
+            dof = max(N - A.shape[1], 1)
+            sigma = float(np.sqrt(resid @ resid / dof))
+            return fitted, max(sigma, 1e-6)
+        # probit IRLS
+        from scipy.stats import norm
+
+        w = np.zeros(A.shape[1])
+        for _ in range(15):
+            eta = np.clip(A @ w, -8, 8)
+            p = np.clip(norm.cdf(eta), 1e-6, 1 - 1e-6)
+            phi = norm.pdf(eta)
+            wls = phi**2 / (p * (1 - p))
+            z = eta + (y - p) / phi
+            Aw = A * wls[:, None]
+            w = np.linalg.solve(A.T @ Aw + ridge, Aw.T @ z)
+        return np.clip(A @ w, -8, 8), 1.0
+    except np.linalg.LinAlgError:
+        if family == "gaussian":
+            return np.full(N, y.mean()), max(float(np.std(y, ddof=1)), 1e-6)
+        return np.zeros(N), 1.0
+
+
+def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
+    """Map user bart_args (dbarts-style names) onto BartConfig
+    (stan4bart_fit.R:434-479)."""
+    ba = dict(bart_args or {})
+
+    def pop(*names, default=None):
+        for n in names:
+            if n in ba:
+                return ba.pop(n)
+        return default
+
+    n_trees = int(pop("n.trees", "n_trees", "ntree", default=75))
+    power = float(pop("power", default=2.0))
+    base = float(pop("base", default=0.95))
+    n_cuts = int(pop("n.cuts", "n_cuts", default=100))
+    max_depth = int(pop("max_depth", default=6))
+    split_probs = pop("split.probs", "split_probs")
+    k = pop("k")
+    keep_trees = bool(pop("keepTrees", "keep_trees", default=False))
+
+    # k: numeric -> fixed; chi spec (dict or ("chi", df, scale)) -> sampled;
+    # default = fixed k = 2 (see BartConfig.k_df note)
+    k_init, k_df, k_scale = 2.0, 0.0, float("inf")
+    if k is not None:
+        if isinstance(k, (int, float)):
+            k_init, k_df = float(k), 0.0
+        elif isinstance(k, dict) and k.get("dist") == "chi":
+            k_df, k_scale = float(k["df"]), float(k["scale"])
+        elif isinstance(k, (tuple, list)) and k and k[0] == "chi":
+            k_df, k_scale = float(k[1]), float(k[2])
+        else:
+            raise ValueError(f"cannot interpret bart k spec: {k!r}")
+
+    if ba:
+        warnings.warn(f"ignoring unsupported bart_args: {sorted(ba)}")
+
+    cfg = BartConfig(
+        num_trees=n_trees, max_depth=max_depth, n_cuts=n_cuts,
+        power=power, base=base,
+        node_scale=3.0 if is_binary else 0.5,
+        k_init=k_init, k_df=k_df, k_scale=k_scale,
+    )
+    return cfg, split_probs, keep_trees
+
+
+def chi(df=1.25, scale=float("inf")):
+    """k hyperprior spec, mirroring the reference's chi() quoting
+    (stan4bart.R:202-210)."""
+    return {"dist": "chi", "df": df, "scale": scale}
+
+
+def stan4bart(
+    formula: str,
+    data,
+    *,
+    test=None,
+    treatment: str | None = None,
+    family: str | None = None,
+    iter: int = 2000,
+    warmup: int | None = None,
+    skip=1,
+    chains: int = 4,
+    cores: int | None = None,
+    verbose: int = 0,
+    seed: int | None = None,
+    keep_fits: bool = True,
+    callback=None,
+    stan_args: dict | None = None,
+    bart_args: dict | None = None,
+    offset=None,
+    weights=None,
+    offset_type: str = "default",
+    na_action: str = "omit",
+    dtype=None,
+):
+    """Fit a semiparametric BART + multilevel model. Returns Stan4bartFit.
+
+    Mirrors the reference formals (stan4bart.R:1-24; man/stan4bart.Rd):
+    ``iter`` is the TOTAL per-chain iterations including ``warmup``
+    (default iter/2); ``skip`` thins (int, or dict with 'bart'/'stan'
+    entries); ``offset_type`` selects the component-substitution debugging
+    semantics for a user ``offset``.
+    """
+    from stan4bart_tpu.results import Stan4bartFit
+
+    if offset_type not in OFFSET_TYPES:
+        raise ValueError(f"offset_type must be one of {OFFSET_TYPES}")
+    if warmup is None:
+        warmup = iter // 2
+    iterations = iter - warmup
+    if iterations < 0:
+        raise ValueError("'warmup' cannot exceed 'iter'")
+    if isinstance(skip, dict):
+        skip_bart = int(skip.get("bart", 1))
+        skip_stan = int(skip.get("stan", 1))
+    elif isinstance(skip, (tuple, list)):
+        skip_bart = int(skip[0])
+        skip_stan = int(skip[1] if len(skip) > 1 else skip[0])
+    else:
+        skip_bart = skip_stan = int(skip)
+
+    mf = build_model_frame(formula, data, weights=weights, offset=offset,
+                           na_action=na_action)
+    y = np.asarray(mf.y)
+    if family is None:
+        family = _detect_family(y)
+    if family not in ("gaussian", "binomial"):
+        raise ValueError("family must be gaussian or binomial "
+                         "(stan4bart_fit.R:93-96)")
+    is_binary = family == "binomial"
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    # treatment -> counterfactual test frame (stan4bart.R:93-102, 457-478)
+    test_frame = None
+    if treatment is not None:
+        if test is not None:
+            raise ValueError("cannot give both 'test' and 'treatment'")
+        cols = {k: np.asarray(v).copy() for k, v in (
+            data.items() if isinstance(data, dict)
+            else {c: data[c] for c in data.columns}.items()
+        )}
+        z = np.asarray(cols[treatment], dtype=np.float64)
+        if not np.all(np.isin(np.unique(z[~np.isnan(z)]), (0.0, 1.0))):
+            raise ValueError("treatment variable must be binary/logical")
+        flipped = 1.0 - z
+        orig = cols[treatment]
+        cols[treatment] = flipped.astype(orig.dtype) if orig.dtype.kind == "f" \
+            else flipped
+        test_frame = mf.build_test_frame(cols)
+    elif test is not None:
+        test_frame = mf.build_test_frame(test)
+
+    pm, resolved_stan_args, assemble_info = build_parametric_model(
+        mf, family, stan_args, dtype=dtype
+    )
+    bart_cfg, split_probs, keep_trees_flag = _resolve_bart_args(
+        bart_args, is_binary
+    )
+    if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
+        keep_trees_flag = True
+
+    nuts_cfg = NutsConfig(
+        max_treedepth=resolved_stan_args.max_treedepth,
+        delta=resolved_stan_args.adapt_delta,
+        gamma=resolved_stan_args.adapt_gamma,
+        kappa=resolved_stan_args.adapt_kappa,
+        t0=resolved_stan_args.adapt_t0,
+    )
+
+    bart_offset_init, sigma_init = _init_parametric_fit(mf, family)
+
+    prog = GibbsProgram(
+        pm, bart_cfg, y, mf.bart_X,
+        split_probs=split_probs,
+        bart_X_test=test_frame.bart_X if test_frame is not None else None,
+        user_offset=mf.offset,
+        offset_type=offset_type,
+        warmup=warmup, iterations=iterations,
+        skip_stan=skip_stan, skip_bart=skip_bart,
+        nuts_cfg=nuts_cfg,
+        init_r=resolved_stan_args.init_r,
+        keep_trees=keep_trees_flag,
+        dtype=dtype,
+    )
+
+    if seed is None:
+        seed = np.random.SeedSequence().entropy % (2**31)
+    keys = jax.random.split(jax.random.PRNGKey(int(seed)), chains)
+    boi = jnp.asarray(bart_offset_init, dtype=dtype)
+
+    # callback semantics (init.cpp:849-911; test-11-callback.R): results are
+    # stored alongside raw draws; with keep_fits=False ONLY the callback
+    # results are stored
+    if callback is not None and keep_fits:
+        cb = lambda d: {"draw": d, "callback": callback(d)}  # noqa: E731
+    else:
+        cb = callback if not keep_fits else None
+
+    def run_one(key):
+        return prog.run_chain(
+            key, bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True, callback=cb,
+        )
+
+    run_all = jax.jit(jax.vmap(run_one))
+    final_states, draws = run_all(keys)
+    draws = jax.tree_util.tree_map(np.asarray, draws)
+    callback_draws = None
+    if callback is not None and keep_fits:
+        callback_draws = draws["callback"]
+        draws = draws["draw"]
+
+    fit = Stan4bartFit(
+        mf=mf, pm=pm, prog=prog, family=family,
+        draws=draws, warmup=warmup, chains=chains,
+        stan_names=prog.stan_names(),
+        test_frame=test_frame, treatment=treatment,
+        final_states=final_states,
+        R_inv=assemble_info.get("R_inv"),
+        keep_fits=keep_fits,
+        sigma_init=sigma_init,
+        seed=int(seed),
+        callback_draws=callback_draws,
+    )
+    if verbose >= 0:
+        fit.check_sampler_diagnostics()
+    return fit

@@ -1,0 +1,427 @@
+"""The coupled BART + NUTS Gibbs sampler as one compiled scan step.
+
+TPU-native re-creation of the reference's native Gibbs coordinator
+(/root/reference/src/init.cpp:678-965 ``stan4bart_run``): where the reference
+alternates two foreign samplers through mutable offset buffers across four
+process/library boundaries, here the whole iteration is a single pure
+function ``(state) -> (state, draw)`` driven by ``lax.scan`` and vmapped over
+chains.  Per iteration, matching init.cpp order exactly:
+
+1. ``skip_stan`` NUTS transitions over the parametric posterior conditioned
+   on the current BART fit as data offset (keeping the last draw;
+   interruptable_sampler.hpp:185-203);
+2. parametric mean -> BART offset, honoring the ``offset_type``
+   default/fixef/ranef/bart/parametric substitution semantics
+   (init.cpp:762-795) — the reference's component fault-injection facility;
+3. sigma handoff, and the decaying warmup rescale schedule
+   ``update_scale_mod = 1 << (8 iter / numIter)`` (init.cpp:813-818), which
+   here updates the leaf-prior scale from range(y - offset) instead of
+   dbarts' internal response rescale;
+4. ``skip_bart`` BART sweeps (probit: truncated-normal latents first);
+5. BART fit -> Stan offset; probit latents -> Stan response.
+
+The draw layout mirrors the reference writer row: 7 NUTS diagnostics then
+the constrained parameters (stan_sampler.cpp:476-489), plus bart train/test
+fits, varcount, and k (bart_util.cpp:13-81).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stan4bart_tpu.models.parametric import ParametricModel
+from stan4bart_tpu.ops import bart as bart_ops
+from stan4bart_tpu.ops.bart import BartConfig, BartState
+from stan4bart_tpu.ops.nuts import (
+    NutsConfig,
+    NutsState,
+    init_stepsize,
+    make_adapt_schedule,
+    nuts_init,
+    nuts_transition,
+)
+
+OFFSET_DEFAULT, OFFSET_FIXEF, OFFSET_RANEF, OFFSET_BART, OFFSET_PARAMETRIC = (
+    range(5)
+)
+OFFSET_TYPES = ("default", "fixef", "ranef", "bart", "parametric")
+
+
+class GibbsState(NamedTuple):
+    nuts: NutsState
+    bart: BartState
+    bart_offset: jnp.ndarray   # (N,) parametric mean fed to BART
+    stan_offset: jnp.ndarray   # (N,) BART fit fed to Stan
+    latents: jnp.ndarray       # (N,) probit latent response (unused o.w.)
+    rng: jax.Array
+
+
+class GibbsDraw(NamedTuple):
+    stan: jnp.ndarray          # (7 + n_constrained,)
+    bart_train: jnp.ndarray    # (N,) pure f(x), no offset
+    bart_test: jnp.ndarray     # (N_test,)
+    varcount: jnp.ndarray      # (P_bart,) int32
+    k: jnp.ndarray             # scalar
+    # tree-state export per draw, populated when keep_trees=True (the
+    # reference's keepTrees/exportBARTState machinery, init.cpp:409-446);
+    # zero-size placeholders otherwise
+    tree_feature: jnp.ndarray = jnp.zeros((0, 0), dtype=jnp.int32)
+    tree_cut: jnp.ndarray = jnp.zeros((0, 0), dtype=jnp.int32)
+    tree_leaf_value: jnp.ndarray = jnp.zeros((0, 0))
+
+
+class GibbsProgram:
+    """Builds the per-iteration compiled step for one model.
+
+    Holds only static/iteration-constant data; all sampler state lives in
+    GibbsState so the step is a pure function.
+    """
+
+    def __init__(
+        self,
+        pm: ParametricModel,
+        bart_cfg: BartConfig,
+        y: np.ndarray,
+        bart_X: np.ndarray,
+        split_probs: np.ndarray | None = None,
+        bart_X_test: np.ndarray | None = None,
+        user_offset: np.ndarray | None = None,
+        offset_type: str = "default",
+        warmup: int = 1000,
+        iterations: int = 1000,   # post-warmup draws
+        skip_stan: int = 1,
+        skip_bart: int = 1,
+        nuts_cfg: NutsConfig = NutsConfig(),
+        init_r: float = 2.0,
+        keep_trees: bool = False,
+        dtype=jnp.float64,
+    ):
+        self.keep_trees = bool(keep_trees)
+        self.pm = pm
+        self.bart_cfg = bart_cfg
+        self.dtype = dtype
+        self.is_binary = pm.cfg.is_binary
+        self.N = len(y)
+        self.y = jnp.asarray(y, dtype=dtype)
+        self.warmup = int(warmup)
+        self.iterations = int(iterations)
+        self.skip_stan = int(skip_stan)
+        self.skip_bart = int(skip_bart)
+        self.nuts_cfg = nuts_cfg
+        self.init_r = float(init_r)
+
+        self.cuts = bart_ops.make_cut_grid(np.asarray(bart_X),
+                                           bart_cfg.n_cuts)
+        self.ranks = jnp.asarray(
+            bart_ops.compute_ranks(np.asarray(bart_X), self.cuts)
+        )
+        self.has_test = bart_X_test is not None
+        if self.has_test:
+            self.ranks_test = jnp.asarray(
+                bart_ops.compute_ranks(np.asarray(bart_X_test), self.cuts)
+            )
+            self.n_test = bart_X_test.shape[0]
+        else:
+            self.ranks_test = jnp.zeros((1, bart_X.shape[1]),
+                                        dtype=jnp.int32)
+            self.n_test = 1
+
+        P = bart_X.shape[1]
+        self.split_probs = jnp.asarray(
+            split_probs if split_probs is not None else np.full(P, 1.0 / P),
+            dtype=dtype,
+        )
+        self.user_offset = (
+            jnp.asarray(user_offset, dtype=dtype)
+            if user_offset is not None else None
+        )
+        self.offset_type = OFFSET_TYPES.index(offset_type)
+
+        # NUTS windowed-adaptation schedule over warmup * skip_stan
+        # transitions (interruptable_sampler.hpp:171)
+        sched = make_adapt_schedule(self.warmup * self.skip_stan)
+        self.sched_adapt = jnp.asarray(sched["adapt_stepsize"])
+        self.sched_collect = jnp.asarray(sched["collect"])
+        self.sched_window_end = jnp.asarray(sched["window_end"])
+        self.n_sched = len(sched["adapt_stepsize"])
+
+        # warmup rescale schedule: update sigma_mu when
+        # iter % (1 << (8 iter / warmup)) == 0 (init.cpp:813-818)
+        it = np.arange(max(self.warmup, 1))
+        mod = 1 << (8 * it // max(self.warmup, 1))
+        self.rescale_sched = jnp.asarray((it % mod) == 0)
+
+    # ------------------------------------------------------------------
+
+    def _bart_offset_from_draw(self, c, tp):
+        """Parametric mean with offset_type substitution (init.cpp:762-795)."""
+        pm, ot, uo = self.pm, self.offset_type, self.user_offset
+        if uo is None or ot == OFFSET_BART:
+            return pm.parametric_mean(c, tp)
+        if ot == OFFSET_DEFAULT:
+            return pm.parametric_mean(c, tp) + uo
+        if ot == OFFSET_RANEF:
+            # user offset REPLACES the ranef component; keep fixef
+            return pm.parametric_mean(c, tp, include_random=False) + uo
+        if ot == OFFSET_FIXEF:
+            return pm.parametric_mean(c, tp, include_fixed=False) + uo
+        # OFFSET_PARAMETRIC: replaces the whole Stan mean
+        return jnp.broadcast_to(uo, (self.N,))
+
+    def _stan_offset_from_fit(self, bart_fit):
+        """BART fit -> Stan offset with offset_type semantics
+        (init.cpp:831-839)."""
+        ot, uo = self.offset_type, self.user_offset
+        if uo is None:
+            return bart_fit
+        if ot == OFFSET_BART:
+            return jnp.broadcast_to(uo, (self.N,))
+        if ot == OFFSET_DEFAULT:
+            return bart_fit + uo
+        return bart_fit
+
+    def _sigma_mu(self, bart_offset, k):
+        """Leaf-prior sd in original units (SURVEY.md 2.4: node.scale forced
+        response scale)."""
+        cfg = self.bart_cfg
+        if self.is_binary:
+            rng_scale = 1.0
+        else:
+            resp = self.y - bart_offset
+            rng_scale = jnp.max(resp) - jnp.min(resp)
+        return cfg.node_scale * rng_scale / (
+            k * np.sqrt(cfg.num_trees)
+        )
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng, bart_offset_init=None, sigma_init=1.0
+                   ) -> GibbsState:
+        """Mirror createSampler's wiring (init.cpp:190-310): seed offsets
+        from the parametric pre-fit, one BART sweep to initialize the Stan
+        offset, probit latents seeded from that sweep."""
+        pm, cfg = self.pm, self.bart_cfg
+        rng, rng_q, rng_b, rng_l = jax.random.split(rng, 4)
+
+        q0 = jax.random.uniform(
+            rng_q, (pm.num_upars,), dtype=self.dtype,
+            minval=-self.init_r, maxval=self.init_r,
+        )
+        bart_offset = (
+            jnp.asarray(bart_offset_init, dtype=self.dtype)
+            if bart_offset_init is not None
+            else jnp.zeros(self.N, dtype=self.dtype)
+        )
+        bart_state = bart_ops.bart_init(cfg, self.N, dtype=self.dtype)
+        bart_state = bart_state._replace(
+            sigma_mu=self._sigma_mu(bart_offset, bart_state.k)
+        )
+
+        if self.is_binary:
+            latents = bart_ops.sample_probit_latents(
+                bart_state.allfit + bart_offset, self.y, rng_l, self.dtype
+            )
+            y_target = latents - bart_offset
+            sigma = jnp.asarray(1.0, self.dtype)
+        else:
+            latents = jnp.zeros(self.N, dtype=self.dtype)
+            y_target = self.y - bart_offset
+            sigma = jnp.asarray(sigma_init, self.dtype)
+
+        bart_state, _ = bart_ops.bart_sweep(
+            cfg, bart_state, y_target, self.ranks, self.split_probs,
+            sigma, rng_b,
+        )
+        stan_offset = self._stan_offset_from_fit(bart_state.allfit)
+
+        nuts = nuts_init(None, q0, stepsize=1.0)
+        # stepsize search against the initial conditional posterior
+        y_stan = latents if self.is_binary else self.y
+        logp = lambda u: pm.log_prob(u, stan_offset, y_stan)  # noqa: E731
+        eps = init_stepsize(logp, q0, nuts.inv_mass, 1.0,
+                            jax.random.fold_in(rng, 3))
+        nuts = nuts._replace(da=nuts.da._replace(
+            log_eps=jnp.log(eps), mu=jnp.log(10.0 * eps)))
+
+        return GibbsState(
+            nuts=nuts, bart=bart_state, bart_offset=bart_offset,
+            stan_offset=stan_offset, latents=latents, rng=rng,
+        )
+
+    # ------------------------------------------------------------------
+
+    def step(self, state: GibbsState, it, is_warmup: bool):
+        """One Gibbs iteration (init.cpp:752-917).  ``it`` is the iteration
+        index within the phase; is_warmup is static."""
+        pm, cfg = self.pm, self.bart_cfg
+        rng, rng_stan, rng_bart, rng_lat = jax.random.split(state.rng, 4)
+
+        # ---- (1) Stan/NUTS transitions on the current conditional ------
+        y_stan = state.latents if self.is_binary else self.y
+        stan_offset = state.stan_offset
+
+        def logp(u):
+            return pm.log_prob(u, stan_offset, y_stan)
+
+        def one_transition(j, nuts):
+            tr_idx = jnp.minimum(
+                it * self.skip_stan + j, self.n_sched - 1
+            )
+            if is_warmup:
+                flags = (self.sched_adapt[tr_idx],
+                         self.sched_collect[tr_idx],
+                         self.sched_window_end[tr_idx])
+            else:
+                f = jnp.asarray(False)
+                flags = (f, f, f)
+            return nuts_transition(
+                logp, nuts, jax.random.fold_in(rng_stan, j),
+                self.nuts_cfg, *flags,
+            )
+
+        nuts = state.nuts
+        if self.skip_stan > 1:
+            # thin internally, keeping the last transition
+            # (interruptable_sampler.hpp:185-203)
+            nuts = jax.lax.fori_loop(
+                0, self.skip_stan - 1,
+                lambda j, s: one_transition(j, s)[0], nuts,
+            )
+        nuts, info = one_transition(self.skip_stan - 1, nuts)
+
+        # ---- (2) parametric mean -> BART offset -------------------------
+        c, _ = pm.layout.constrain(nuts.q)
+        tp = pm.transformed(c)
+        bart_offset = self._bart_offset_from_draw(c, tp)
+        sigma = (jnp.asarray(1.0, self.dtype) if self.is_binary
+                 else tp["aux"])
+
+        # ---- (3) warmup leaf-scale rescale (init.cpp:813-818) -----------
+        bart_state = state.bart
+        if is_warmup and not self.is_binary:
+            do_rescale = self.rescale_sched[jnp.minimum(it, self.warmup - 1)]
+            new_sigma_mu = self._sigma_mu(bart_offset, bart_state.k)
+            bart_state = bart_state._replace(
+                sigma_mu=jnp.where(do_rescale, new_sigma_mu,
+                                   bart_state.sigma_mu)
+            )
+
+        # ---- (4) BART sweeps (probit: latents first) ---------------------
+        latents = state.latents
+
+        def bart_substep(j, carry):
+            bart_state, latents, varcount = carry
+            rng_j = jax.random.fold_in(rng_bart, j)
+            if self.is_binary:
+                rng_j, rng_z = jax.random.split(rng_j)
+                latents = bart_ops.sample_probit_latents(
+                    bart_state.allfit + bart_offset, self.y, rng_z,
+                    self.dtype,
+                )
+                y_target = latents - bart_offset
+            else:
+                y_target = self.y - bart_offset
+            bart_state, varcount = bart_ops.bart_sweep(
+                cfg, bart_state, y_target, self.ranks, self.split_probs,
+                sigma, rng_j,
+            )
+            return bart_state, latents, varcount
+
+        varcount0 = jnp.zeros(self.ranks.shape[1], dtype=jnp.int32)
+        bart_state, latents, varcount = jax.lax.fori_loop(
+            0, self.skip_bart, bart_substep,
+            (bart_state, latents, varcount0),
+        )
+
+        # ---- (5) BART fit -> Stan offset ---------------------------------
+        bart_fit = bart_state.allfit
+        stan_offset = self._stan_offset_from_fit(bart_fit)
+
+        # ---- draw packaging ----------------------------------------------
+        stan_row = jnp.concatenate([
+            jnp.stack([
+                info.lp, info.accept_stat, info.stepsize, info.treedepth,
+                info.n_leapfrog, info.divergent, info.energy,
+            ]),
+            pm.constrained_draw(nuts.q),
+        ])
+        if self.has_test:
+            bart_test = bart_ops.predict_trees(
+                cfg, bart_state.feature, bart_state.cut,
+                bart_state.leaf_value, self.ranks_test,
+            )
+        else:
+            bart_test = jnp.zeros(self.n_test, dtype=self.dtype)
+
+        new_state = GibbsState(
+            nuts=nuts, bart=bart_state, bart_offset=bart_offset,
+            stan_offset=stan_offset, latents=latents, rng=rng,
+        )
+        if self.keep_trees:
+            draw = GibbsDraw(
+                stan=stan_row, bart_train=bart_fit, bart_test=bart_test,
+                varcount=varcount, k=bart_state.k,
+                tree_feature=bart_state.feature,
+                tree_cut=bart_state.cut,
+                tree_leaf_value=bart_state.leaf_value,
+            )
+        else:
+            draw = GibbsDraw(
+                stan=stan_row, bart_train=bart_fit, bart_test=bart_test,
+                varcount=varcount, k=bart_state.k,
+                tree_leaf_value=jnp.zeros((0, 0), dtype=self.dtype),
+            )
+        return new_state, draw
+
+    # ------------------------------------------------------------------
+
+    def run_chain(self, rng, bart_offset_init=None, sigma_init=1.0,
+                  keep_warmup: bool = True, callback=None):
+        """Run one full chain: warmup scan + sampling scan.
+
+        callback: optional jax-transformable ``f(draw) -> pytree`` stored in
+        place of the raw draw (the reference's streaming callback,
+        init.cpp:849-911 / keep_fits=FALSE).
+        """
+        state = self.init_state(rng, bart_offset_init, sigma_init)
+
+        def make_phase(is_warmup):
+            def body(state, it):
+                state, draw = self.step(state, it, is_warmup)
+                out = callback(draw) if callback is not None else draw
+                return state, out
+            return body
+
+        state, warm_draws = jax.lax.scan(
+            make_phase(True), state, jnp.arange(self.warmup)
+        )
+        # disengage adaptation: freeze stepsize at the averaged value
+        # (interruptable_sampler.hpp:206-210)
+        state = state._replace(nuts=state.nuts._replace(
+            da=state.nuts.da._replace(
+                log_eps=jnp.where(
+                    state.nuts.da.count > 0,
+                    state.nuts.da.log_eps_bar,
+                    state.nuts.da.log_eps,
+                )
+            )
+        ))
+        state, draws = jax.lax.scan(
+            make_phase(False), state, jnp.arange(self.iterations)
+        )
+        if keep_warmup:
+            return state, jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                warm_draws, draws,
+            )
+        return state, draws
+
+    def stan_names(self) -> list[str]:
+        return [
+            "lp__", "accept_stat__", "stepsize__", "treedepth__",
+            "n_leapfrog__", "divergent__", "energy__",
+        ] + self.pm.constrained_names()

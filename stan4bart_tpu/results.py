@@ -1,11 +1,598 @@
-"""Fit object + posterior consumption (extract / fitted / predict).
+"""Fit object and posterior consumption: extract / fitted / predict.
 
-Placeholder while the sampler stack comes up; filled in by the posterior-API
-milestone (SURVEY.md section 7.2 step 5).
+Python equivalent of the reference's S3 generics on class ``stan4bartFit``
+(/root/reference/R/generics.R:169-723; man/generics.Rd): draw types
+
+    ev, ppd, fixef, indiv.fixef, ranef, indiv.ranef, indiv.bart,
+    sigma, Sigma, k, varcount, stan, callback
+
+for train or test samples, with warmup inclusion, chain combining, probit
+``Phi`` transforms, ppd noise injection (incl. weights), centered-X
+un-centering via the training means, and new-group posterior sampling from
+the per-draw covariance Cholesky (generics.R:553-612 ``fitted_random`` /
+``levelfun`` semantics).
+
+Array convention: draws are returned with observation/parameter axes first
+and the draw axis LAST; ``combine_chains=True`` (default) flattens
+(chains x iterations) into one draw axis, else a trailing (iter, chain)
+pair, matching the reference's combine_chains helper (generics.R:1-16).
 """
 
 from __future__ import annotations
 
+import math
+import warnings
+from dataclasses import dataclass, field
+from typing import Any
 
+import numpy as np
+from scipy.stats import norm
+
+EXTRACT_TYPES = (
+    "ev", "ppd", "fixef", "indiv.fixef", "ranef", "indiv.ranef",
+    "indiv.bart", "sigma", "Sigma", "k", "varcount", "stan", "callback",
+)
+
+
+@dataclass
 class Stan4bartFit:
-    pass
+    mf: Any
+    pm: Any
+    prog: Any
+    family: str
+    draws: Any                 # pytree, leaves with leading (chains, iter)
+    warmup: int
+    chains: int
+    stan_names: list
+    test_frame: Any = None
+    treatment: str | None = None
+    final_states: Any = None
+    R_inv: np.ndarray | None = None
+    keep_fits: bool = True
+    sigma_init: float = 1.0
+    seed: int = 0
+    callback_draws: Any = None
+    _name_idx: dict = field(default_factory=dict, init=False)
+
+    def __post_init__(self):
+        self._name_idx = {n: i for i, n in enumerate(self.stan_names)}
+        # QR un-rotation of beta draws (stan4bart_fit.R:560-570)
+        if self.R_inv is not None and self.keep_fits:
+            K = self.mf.K
+            bi = [self._name_idx[f"beta.{j + 1}"] for j in range(K)]
+            beta = self.draws.stan[..., bi]
+            self.draws = self.draws._replace(
+                stan=self.draws.stan.at[..., bi].set(
+                    beta @ np.asarray(self.R_inv).T
+                ) if hasattr(self.draws.stan, "at")
+                else self._np_set(self.draws.stan, bi,
+                                  beta @ np.asarray(self.R_inv).T)
+            )
+
+    @staticmethod
+    def _np_set(arr, idx, vals):
+        arr = np.array(arr)
+        arr[..., idx] = vals
+        return arr
+
+    # -- internals ----------------------------------------------------------
+
+    @property
+    def is_binary(self) -> bool:
+        return self.family == "binomial"
+
+    @property
+    def iterations(self) -> int:
+        import jax
+
+        return jax.tree_util.tree_leaves(self.draws)[0].shape[1]
+
+    def _slice(self, arr, include_warmup):
+        """arr leading axes (chains, iter, ...) -> iteration slice."""
+        if include_warmup:
+            return arr
+        return arr[:, self.warmup :]
+
+    def _flatten(self, arr, combine_chains):
+        """(chains, iter, ...) -> (..., draws) or (..., iter, chains)."""
+        arr = np.asarray(arr)
+        moved = np.moveaxis(arr, (0, 1), (-1, -2))  # (..., iter, chains)
+        if combine_chains:
+            return moved.reshape(
+                moved.shape[:-2] + (moved.shape[-2] * moved.shape[-1],)
+            )
+        return moved
+
+    def _stan_rows(self, names, include_warmup):
+        idx = [self._name_idx[n] for n in names]
+        return self._slice(self.draws.stan, include_warmup)[..., idx]
+
+    def _num_draws(self, include_warmup):
+        it = self.iterations if include_warmup else (
+            self.iterations - self.warmup
+        )
+        return it * self.chains
+
+    def _rng(self):
+        return np.random.default_rng(self.seed + 0x5EED)
+
+    # -- component draws (internal, (chains, iter, ...) layout) -------------
+
+    def _beta_draws(self, include_warmup):
+        K = self.mf.K
+        if K == 0:
+            sl = self._slice(self.draws.stan, include_warmup)
+            return np.zeros(sl.shape[:2] + (0,))
+        return self._stan_rows([f"beta.{j + 1}" for j in range(K)],
+                               include_warmup)
+
+    def _b_draws(self, include_warmup):
+        q = self.mf.q
+        if q == 0:
+            sl = self._slice(self.draws.stan, include_warmup)
+            return np.zeros(sl.shape[:2] + (0,))
+        return self._stan_rows([f"b.{j + 1}" for j in range(q)],
+                               include_warmup)
+
+    def _theta_L_draws(self, include_warmup):
+        L = self.mf.len_theta_L
+        if L == 0:
+            sl = self._slice(self.draws.stan, include_warmup)
+            return np.zeros(sl.shape[:2] + (0,))
+        return self._stan_rows([f"theta_L.{j + 1}" for j in range(L)],
+                               include_warmup)
+
+    def _sigma_draws(self, include_warmup):
+        if self.is_binary:
+            raise ValueError("sigma is not defined for binary outcomes")
+        return self._stan_rows(["aux.1"], include_warmup)[..., 0]
+
+    def _Sigma_draws(self, include_warmup):
+        """Per-term covariance draws from theta_L (mkVarCorr semantics,
+        lme4_functions.R:1199-1224; dispersion already folded in)."""
+        th = self._theta_L_draws(include_warmup)  # (C, I, L)
+        out = {}
+        mark = 0
+        for t in self.mf.re_terms:
+            p = t.p
+            if p == 1:
+                out[t.group_name] = (th[..., mark] ** 2)[..., None, None]
+                mark += 1
+            else:
+                ntri = p + math.comb(p, 2)
+                seg = th[..., mark : mark + ntri]
+                mark += ntri
+                T = np.zeros(seg.shape[:2] + (p, p))
+                k = 0
+                for c in range(p):
+                    for r in range(c, p):
+                        T[..., r, c] = seg[..., k]
+                        k += 1
+                out[t.group_name] = T @ np.swapaxes(T, -1, -2)
+        return out
+
+    def _frame_for(self, sample):
+        return self.mf if sample == "train" else self._require_test()
+
+    def _indiv_fixef(self, include_warmup, sample="train", frame=None):
+        """(X - X_mean) beta per draw (generics.R:510-551 fitted_fixed)."""
+        beta = self._beta_draws(include_warmup)  # (C, I, K)
+        X = np.asarray((frame or self._frame_for(sample)).X)
+        return np.einsum("nk,cik->cin", X, beta)
+
+    def _indiv_ranef(self, include_warmup, sample="train",
+                     sample_new_levels=True, frame=None):
+        """Z b per draw; unseen test levels get draws from N(0, Sigma_draw)
+        (generics.R:553-612)."""
+        b = self._b_draws(include_warmup)  # (C, I, q)
+        fr = frame or self._frame_for(sample)
+        re_terms = fr.re_terms
+        C, I = b.shape[:2]
+        n = re_terms[0].lhs.shape[0] if re_terms else np.asarray(fr.X).shape[0]
+        eta = np.zeros((C, I, n))
+        if not re_terms:
+            return eta
+        rng = self._rng()
+        Sigmas = (self._Sigma_draws(include_warmup)
+                  if sample_new_levels else None)
+        off = 0
+        for t_train, t in zip(self.mf.re_terms, re_terms):
+            p, l = t_train.p, t_train.l
+            b_term = b[..., off : off + p * l].reshape(C, I, l, p)
+            gidx = np.asarray(t.group_idx)
+            seen = gidx >= 0
+            safe = np.clip(gidx, 0, None)
+            contrib = np.einsum("np,cinp->cin", t.lhs,
+                                b_term[:, :, safe, :])
+            if (~seen).any():
+                if sample_new_levels:
+                    Sig = Sigmas[t_train.group_name]  # (C, I, p, p)
+                    chol = np.linalg.cholesky(
+                        Sig + 1e-12 * np.eye(p)
+                    )
+                    # one new-level draw per (chain, iter, distinct new row)
+                    z = rng.standard_normal((C, I, (~seen).sum(), p))
+                    b_new = np.einsum("cipq,cinq->cinp", chol, z)
+                    contrib_new = np.einsum(
+                        "np,cinp->cin", t.lhs[~seen], b_new
+                    )
+                    contrib[:, :, ~seen] = contrib_new
+                else:
+                    contrib[:, :, ~seen] = 0.0
+            eta += contrib
+            off += p * l
+        return eta
+
+    def _indiv_bart(self, include_warmup, sample="train"):
+        arr = (self.draws.bart_train if sample == "train"
+               else self._require_test_draws())
+        return self._slice(arr, include_warmup)
+
+    def _require_test(self):
+        if self.test_frame is None:
+            raise ValueError("no test data was provided to stan4bart()")
+        return self.test_frame
+
+    def _require_test_draws(self):
+        self._require_test()
+        return self.draws.bart_test
+
+    def _ev(self, include_warmup, sample="train", sample_new_levels=True):
+        ev = self._indiv_bart(include_warmup, sample)
+        ev = ev + self._indiv_fixef(include_warmup, sample)
+        if self.mf.q > 0:
+            ev = ev + self._indiv_ranef(include_warmup, sample,
+                                        sample_new_levels)
+        off = (self.mf.offset if sample == "train"
+               else self._require_test().offset)
+        if off is not None:
+            ev = ev + np.asarray(off)
+        if self.is_binary:
+            ev = norm.cdf(ev)
+        return ev
+
+    # -- public API ----------------------------------------------------------
+
+    def extract(self, type: str = "ev", sample: str = "train",
+                combine_chains: bool = True, include_warmup: bool = False,
+                sample_new_levels: bool = True):
+        """Posterior draws of the requested quantity (generics.R:169-472)."""
+        if type not in EXTRACT_TYPES:
+            raise ValueError(f"type must be one of {EXTRACT_TYPES}")
+        if sample not in ("train", "test"):
+            raise ValueError("sample must be 'train' or 'test'")
+
+        if type == "stan":
+            return self._flatten(
+                self._slice(self.draws.stan, include_warmup), combine_chains
+            )
+        if type == "callback":
+            import jax
+
+            src = self.callback_draws if self.keep_fits else self.draws
+            if src is None:
+                raise ValueError("no callback was supplied to stan4bart()")
+            return jax.tree_util.tree_map(
+                lambda a: self._flatten(self._slice(a, include_warmup),
+                                        combine_chains),
+                src,
+            )
+        if not self.keep_fits:
+            raise ValueError(
+                "raw draws were not stored (keep_fits=False); only "
+                "type='callback' is available (man/stan4bart.Rd:227-242)"
+            )
+        if type == "k":
+            if not hasattr(self.draws, "k"):
+                raise ValueError("k draws unavailable")
+            return self._flatten(self._slice(self.draws.k, include_warmup),
+                                 combine_chains)
+        if type == "sigma":
+            return self._flatten(self._sigma_draws(include_warmup),
+                                 combine_chains)
+        if type == "varcount":
+            return self._flatten(
+                self._slice(self.draws.varcount, include_warmup),
+                combine_chains,
+            )
+        if type == "fixef":
+            return self._flatten(self._beta_draws(include_warmup),
+                                 combine_chains)
+        if type == "ranef":
+            b = self._b_draws(include_warmup)
+            C, I = b.shape[:2]
+            out = {}
+            off = 0
+            for t in self.mf.re_terms:
+                arr = b[..., off : off + t.p * t.l].reshape(C, I, t.l, t.p)
+                out[t.group_name] = self._flatten(arr, combine_chains)
+                off += t.p * t.l
+            return out
+        if type == "Sigma":
+            sig = self._Sigma_draws(include_warmup)
+            return {
+                k: self._flatten(v, combine_chains) for k, v in sig.items()
+            }
+        if type == "indiv.fixef":
+            return self._flatten(self._indiv_fixef(include_warmup, sample),
+                                 combine_chains)
+        if type == "indiv.ranef":
+            return self._flatten(
+                self._indiv_ranef(include_warmup, sample, sample_new_levels),
+                combine_chains,
+            )
+        if type == "indiv.bart":
+            return self._flatten(self._indiv_bart(include_warmup, sample),
+                                 combine_chains)
+        if type == "ev":
+            return self._flatten(
+                self._ev(include_warmup, sample, sample_new_levels),
+                combine_chains,
+            )
+        # ppd: ev + observation noise (generics.R:419-461)
+        ev = self._ev(include_warmup, sample, sample_new_levels)
+        rng = self._rng()
+        if self.is_binary:
+            ppd = rng.binomial(1, ev).astype(np.float64)
+        else:
+            sigma = self._sigma_draws(include_warmup)[..., None]
+            if self.mf.weights is not None and sample == "train":
+                sigma = sigma / np.sqrt(np.asarray(self.mf.weights))
+            ppd = ev + rng.standard_normal(ev.shape) * sigma
+        return self._flatten(ppd, combine_chains)
+
+    def fitted(self, type: str = "ev", sample: str = "train", **kw):
+        """Posterior mean of extract(type) (generics.R:476-508)."""
+        draws = self.extract(type=type, sample=sample, combine_chains=True,
+                             **kw)
+        if isinstance(draws, dict):
+            return {k: v.mean(axis=-1) for k, v in draws.items()}
+        return draws.mean(axis=-1)
+
+    # -- out-of-sample prediction (needs keep_trees) --------------------------
+
+    def _tree_draws(self, include_warmup):
+        if (not hasattr(self.draws, "tree_feature")
+                or self.draws.tree_feature.shape[-1] == 0):
+            raise ValueError(
+                "predict/trees require keep_trees=True at fit time "
+                "(the reference's keepTrees, man/generics.Rd)"
+            )
+        return (
+            self._slice(self.draws.tree_feature, include_warmup),
+            self._slice(self.draws.tree_cut, include_warmup),
+            self._slice(self.draws.tree_leaf_value, include_warmup),
+        )
+
+    def _predict_bart(self, bart_X_new, include_warmup=False):
+        """Walk every stored tree draw over new data: (C, I, n_new)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stan4bart_tpu.ops.bart import compute_ranks, predict_trees
+
+        feature, cut, leaf_value = self._tree_draws(include_warmup)
+        ranks_new = jnp.asarray(
+            compute_ranks(np.asarray(bart_X_new), self.prog.cuts)
+        )
+        cfg = self.prog.bart_cfg
+
+        def per_draw(f, c, lv):
+            return predict_trees(cfg, f, c, lv, ranks_new)
+
+        fn = jax.jit(jax.vmap(jax.vmap(per_draw)))
+        return np.asarray(fn(jnp.asarray(feature), jnp.asarray(cut),
+                             jnp.asarray(leaf_value)))
+
+    def predict(self, newdata, type: str = "ev", combine_chains: bool = True,
+                sample_new_levels: bool = True, offset=None):
+        """Posterior draws on new data from the stored tree ensembles
+        (generics.R:614-723).  types: ev, ppd, indiv.bart, indiv.fixef,
+        indiv.ranef."""
+        ok = ("ev", "ppd", "indiv.bart", "indiv.fixef", "indiv.ranef")
+        if type not in ok:
+            raise ValueError(f"predict type must be one of {ok}")
+        tf = self.mf.build_test_frame(newdata)
+
+        if type == "indiv.fixef":
+            out = self._indiv_fixef(False, frame=tf)
+        elif type == "indiv.ranef":
+            out = self._indiv_ranef(False, sample_new_levels=sample_new_levels,
+                                    frame=tf)
+        elif type == "indiv.bart":
+            out = self._predict_bart(tf.bart_X)
+        else:
+            out = self._predict_bart(tf.bart_X)
+            out = out + self._indiv_fixef(False, frame=tf)
+            if self.mf.q > 0:
+                out = out + self._indiv_ranef(
+                    False, sample_new_levels=sample_new_levels, frame=tf
+                )
+            if tf.offset is not None:
+                out = out + np.asarray(tf.offset)
+            if offset is not None:
+                out = out + np.asarray(offset)
+            if self.is_binary:
+                out = norm.cdf(out)
+            if type == "ppd":
+                rng = self._rng()
+                if self.is_binary:
+                    out = rng.binomial(1, out).astype(np.float64)
+                else:
+                    sigma = self._sigma_draws(False)[..., None]
+                    out = out + rng.standard_normal(out.shape) * sigma
+        return self._flatten(out, combine_chains)
+
+    # -- flattened-tree export -------------------------------------------------
+
+    def trees(self, include_warmup: bool = False) -> dict:
+        """Flattened tree ensemble draws as columns chain/sample/tree/n/var/
+        value (the reference's extract(fit, "trees") via dbarts
+        FlattenedTrees; init.cpp:577-671).  Nodes appear in preorder; ``var``
+        is the 0-based split variable for internal nodes and -1 for leaves;
+        ``value`` is the split cut value or the leaf value; ``n`` is the
+        training-observation count in the node."""
+        import jax
+        import jax.numpy as jnp
+
+        from stan4bart_tpu.ops.bart import walk_tree
+
+        feature, cut, leaf_value = self._tree_draws(include_warmup)
+        C, I, T, M = feature.shape
+        cfg = self.prog.bart_cfg
+
+        # per-node training counts: recompute leaf membership per tree draw,
+        # then propagate leaf counts up the heap
+        ranks = self.prog.ranks
+
+        def node_counts(f, c):
+            leaf_idx = walk_tree(f, c, ranks, cfg.max_depth)
+            onehot = (
+                leaf_idx[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :]
+            )
+            counts = jnp.sum(onehot, axis=0).astype(jnp.int32)
+            for i in range((M - 2) // 2, -1, -1):
+                counts = counts.at[i].add(
+                    jnp.where(f[i] >= 0,
+                              counts[2 * i + 1] + counts[2 * i + 2], 0)
+                )
+            return counts
+
+        counts = np.asarray(
+            jax.jit(jax.vmap(jax.vmap(jax.vmap(node_counts))))(
+                jnp.asarray(feature), jnp.asarray(cut)
+            )
+        )
+
+        # static preorder permutation of the full heap
+        preorder = []
+
+        def visit(i):
+            if i >= M:
+                return
+            preorder.append(i)
+            visit(2 * i + 1)
+            visit(2 * i + 2)
+
+        visit(0)
+        preorder = np.asarray(preorder)
+
+        f = np.asarray(feature)[..., preorder]
+        cu = np.asarray(cut)[..., preorder]
+        lv = np.asarray(leaf_value)[..., preorder]
+        cn = counts[..., preorder]
+        active = f >= -1
+
+        chain_col = np.broadcast_to(
+            np.arange(C)[:, None, None, None], f.shape
+        )[active]
+        sample_col = np.broadcast_to(
+            np.arange(I)[None, :, None, None], f.shape
+        )[active]
+        tree_col = np.broadcast_to(
+            np.arange(T)[None, None, :, None], f.shape
+        )[active]
+        var_col = f[active]
+        is_internal = var_col >= 0
+        cut_vals = self.prog.cuts[
+            np.clip(var_col, 0, None), cu[active]
+        ]
+        value_col = np.where(is_internal, cut_vals, lv[active])
+        out = dict(
+            sample=sample_col, tree=tree_col, n=cn[active],
+            var=np.where(is_internal, var_col, -1),
+            value=value_col,
+        )
+        if C > 1:
+            out = {"chain": chain_col, **out}
+        return out
+
+    # -- pretty-named draw matrix ----------------------------------------------
+
+    def parameter_names(self) -> list:
+        """Pretty names for the constrained block (as.array dimnames,
+        generics.R:18-112)."""
+        names = []
+        for n in self.stan_names:
+            if n.endswith("__"):
+                continue
+            base, _, idx = n.rpartition(".")
+            j = int(idx) - 1 if idx.isdigit() else 0
+            if base == "beta":
+                names.append(f"beta_{self.mf.X_names[j]}")
+            elif base == "b":
+                names.append(self.mf.b_names()[j])
+            elif base == "aux":
+                names.append("sigma")
+            elif base == "theta_L":
+                names.append(self._theta_L_name(j))
+            else:
+                names.append(n)
+        return names
+
+    def _theta_L_name(self, j):
+        mark = 0
+        for t in self.mf.re_terms:
+            ntri = t.p + math.comb(t.p, 2)
+            if j < mark + ntri:
+                local = j - mark
+                k = 0
+                for c in range(t.p):
+                    for r in range(c, t.p):
+                        if k == local:
+                            return (f"Sigma[{t.group_name}:"
+                                    f"{t.coef_names[r]},{t.coef_names[c]}]")
+                        k += 1
+            mark += ntri
+        return f"theta_L.{j + 1}"
+
+    def as_array(self, include_warmup: bool = False):
+        """(iterations, chains, params) with pretty names — the reference's
+        as.array.stan4bartFit (generics.R:18-112)."""
+        stan = self._slice(self.draws.stan, include_warmup)
+        keep = [i for i, n in enumerate(self.stan_names)
+                if not n.endswith("__")]
+        arr = np.moveaxis(stan[..., keep], 0, 1)  # (iter, chains, params)
+        return arr, self.parameter_names()
+
+    # -- diagnostics ----------------------------------------------------------
+
+    def check_sampler_diagnostics(self):
+        """Post-fit warnings: divergences, treedepth saturation, E-BFMI
+        (stan4bart.R:255-297)."""
+        if not self.keep_fits:
+            return
+        stan = self.draws.stan[:, self.warmup :]
+        div = stan[..., self._name_idx["divergent__"]].sum()
+        if div > 0:
+            warnings.warn(
+                f"{int(div)} of {stan.shape[0] * stan.shape[1]} "
+                "post-warmup draws were divergent transitions"
+            )
+        td = stan[..., self._name_idx["treedepth__"]]
+        max_td = self.prog.nuts_cfg.max_treedepth
+        n_max = (td >= max_td).sum()
+        if n_max > 0:
+            warnings.warn(
+                f"{int(n_max)} draws hit the maximum treedepth of {max_td}"
+            )
+        energy = stan[..., self._name_idx["energy__"]]
+        for c in range(energy.shape[0]):
+            e = energy[c]
+            if len(e) > 3:
+                num = np.sum(np.diff(e) ** 2) / len(e)
+                den = np.var(e, ddof=1)
+                if den > 0 and num / den < 0.2:
+                    warnings.warn(
+                        f"chain {c + 1} E-BFMI = {num / den:.3f} < 0.2: "
+                        "the posterior may be poorly explored"
+                    )
+                    break
+
+    def __repr__(self):
+        post = self.iterations - self.warmup
+        return (
+            f"Stan4bartFit({self.family}; n={self.mf.N}, K={self.mf.K}, "
+            f"bart_vars={self.mf.bart_X.shape[1]}, q={self.mf.q}; "
+            f"chains={self.chains}, warmup={self.warmup}, draws={post})"
+        )
