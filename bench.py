@@ -21,7 +21,7 @@ REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
 
 N = 10_000
 CHAINS = 4
-WARMUP = 20          # enough to exercise the full warmup code path
+WARMUP = 150         # enough for windowed metric adaptation to engage
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
 NUM_TREES = 75
@@ -56,14 +56,15 @@ def main():
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
     )
 
-    def prep(key):
-        state = prog.init_state(key)
-
-        def body(state, it):
-            state, _ = prog.step(state, it, True)
+    # NOTE: the axon tunnel kills single device executions longer than
+    # ~60s with UNAVAILABLE, so every phase runs in <= CHUNK-iteration
+    # compiled calls driven from the host.
+    def warmup_chunk(state, it0):
+        def body(state, i):
+            state, _ = prog.step(state, it0 + i, True)
             return state, None
 
-        state, _ = jax.lax.scan(body, state, jnp.arange(WARMUP))
+        state, _ = jax.lax.scan(body, state, jnp.arange(CHUNK))
         return state
 
     def sample(state):
@@ -74,7 +75,8 @@ def main():
         return jax.lax.scan(body, state, jnp.arange(CHUNK))
 
     keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
-    prep_fn = jax.jit(jax.vmap(prep))
+    init_fn = jax.jit(jax.vmap(prog.init_state))
+    warm_fn = jax.jit(jax.vmap(warmup_chunk, in_axes=(0, None)))
     sample_fn = jax.jit(jax.vmap(sample))
 
     def with_retry(fn, *args, tries=3, label=""):
@@ -88,7 +90,9 @@ def main():
                     raise
                 time.sleep(5)
 
-    states = with_retry(prep_fn, keys, label="prep")
+    states = with_retry(init_fn, keys, label="init")
+    for w0 in range(0, WARMUP, CHUNK):
+        states = with_retry(warm_fn, states, w0, label=f"warmup@{w0}")
     states, _ = with_retry(sample_fn, states, label="sample-compile")
 
     t0 = time.perf_counter()

@@ -35,14 +35,14 @@ def _detect_family(y: np.ndarray) -> str:
 
 def _dense_Z(mf: ModelFrame) -> np.ndarray:
     """Dense (N, q) random-effects design in lme4 flat-b order."""
+    from stan4bart_tpu.native import dense_z
+
     N = mf.N
     Z = np.zeros((N, mf.q))
     off = 0
     for t in mf.re_terms:
-        for i in range(N):
-            g = t.group_idx[i]
-            if g >= 0:
-                Z[i, off + g * t.p : off + g * t.p + t.p] = t.lhs[i]
+        dense_z(Z, np.asarray(t.group_idx, dtype=np.int32),
+                np.ascontiguousarray(t.lhs, dtype=np.float64), off, t.p)
         off += t.p * t.l
     return Z
 

@@ -166,10 +166,21 @@ def _factor_levels(col: np.ndarray) -> list:
     return sorted(set(np.asarray(col).tolist()))
 
 
+def _level_index(col: np.ndarray, levels: list) -> np.ndarray:
+    """Vectorized level lookup; -1 for unseen levels."""
+    col = np.asarray(col).astype(str)
+    lev = np.asarray([str(v) for v in levels])
+    order = np.argsort(lev)
+    pos = np.searchsorted(lev[order], col)
+    pos = np.clip(pos, 0, len(lev) - 1)
+    idx = order[pos]
+    idx = np.where(lev[idx] == col, idx, -1)
+    return idx.astype(np.int64)
+
+
 def _encode_factor(col: np.ndarray, levels: list) -> np.ndarray:
     """(N, n_levels) one-hot; unseen levels encode to all-zero rows."""
-    lut = {lev: i for i, lev in enumerate(levels)}
-    idx = np.array([lut.get(v, -1) for v in col.tolist()], dtype=np.int64)
+    idx = _level_index(col, levels)
     out = np.zeros((len(col), len(levels)))
     ok = idx >= 0
     out[np.arange(len(col))[ok], idx[ok]] = 1.0
@@ -248,8 +259,7 @@ def _group_index(group_expr: str, cols, levels: list | None):
         combined = np.char.add(np.char.add(combined, ":"), v)
     if levels is None:
         levels = sorted(set(combined.tolist()))
-    lut = {lev: i for i, lev in enumerate(levels)}
-    idx = np.array([lut.get(v, -1) for v in combined.tolist()], dtype=np.int32)
+    idx = _level_index(combined, levels).astype(np.int32)
     return idx, levels
 
 

@@ -96,12 +96,11 @@ def make_cut_grid(X: np.ndarray, n_cuts: int) -> np.ndarray:
 
 def compute_ranks(X: np.ndarray, cuts: np.ndarray) -> np.ndarray:
     """rank[n, v] = first cut index with cuts[v, c] >= x[n, v]; an obs goes
-    left of split (v, c) iff rank[n, v] <= c."""
-    N, P = X.shape
-    ranks = np.zeros((N, P), dtype=np.int32)
-    for j in range(P):
-        ranks[:, j] = np.searchsorted(cuts[j], X[:, j], side="left")
-    return ranks
+    left of split (v, c) iff rank[n, v] <= c.  Dispatches to the native
+    C++ kernel when built (stan4bart_tpu/native.py)."""
+    from stan4bart_tpu.native import rank_matrix
+
+    return rank_matrix(X, cuts)
 
 
 def bart_init(cfg: BartConfig, n_obs: int, dtype=jnp.float64) -> BartState:

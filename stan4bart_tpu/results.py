@@ -253,6 +253,19 @@ class Stan4bartFit:
 
     # -- public API ----------------------------------------------------------
 
+    def _na_expand(self, arr, sample):
+        """na_action='exclude': re-insert NaN rows at the original
+        positions of incomplete observations (test-03-na_action.R:45-92).
+        arr has the observation axis first."""
+        fr = self._frame_for(sample)
+        if (self.mf.na_action != "exclude"
+                or bool(np.all(fr.complete_rows))):
+            return arr
+        out = np.full((fr.n_original,) + arr.shape[1:], np.nan,
+                      dtype=np.float64)
+        out[np.asarray(fr.complete_rows)] = arr
+        return out
+
     def extract(self, type: str = "ev", sample: str = "train",
                 combine_chains: bool = True, include_warmup: bool = False,
                 sample_new_levels: bool = True):
@@ -314,21 +327,26 @@ class Stan4bartFit:
                 k: self._flatten(v, combine_chains) for k, v in sig.items()
             }
         if type == "indiv.fixef":
-            return self._flatten(self._indiv_fixef(include_warmup, sample),
-                                 combine_chains)
+            return self._na_expand(
+                self._flatten(self._indiv_fixef(include_warmup, sample),
+                              combine_chains), sample)
         if type == "indiv.ranef":
-            return self._flatten(
-                self._indiv_ranef(include_warmup, sample, sample_new_levels),
-                combine_chains,
-            )
+            return self._na_expand(
+                self._flatten(
+                    self._indiv_ranef(include_warmup, sample,
+                                      sample_new_levels),
+                    combine_chains,
+                ), sample)
         if type == "indiv.bart":
-            return self._flatten(self._indiv_bart(include_warmup, sample),
-                                 combine_chains)
+            return self._na_expand(
+                self._flatten(self._indiv_bart(include_warmup, sample),
+                              combine_chains), sample)
         if type == "ev":
-            return self._flatten(
-                self._ev(include_warmup, sample, sample_new_levels),
-                combine_chains,
-            )
+            return self._na_expand(
+                self._flatten(
+                    self._ev(include_warmup, sample, sample_new_levels),
+                    combine_chains,
+                ), sample)
         # ppd: ev + observation noise (generics.R:419-461)
         ev = self._ev(include_warmup, sample, sample_new_levels)
         rng = self._rng()
@@ -339,7 +357,7 @@ class Stan4bartFit:
             if self.mf.weights is not None and sample == "train":
                 sigma = sigma / np.sqrt(np.asarray(self.mf.weights))
             ppd = ev + rng.standard_normal(ev.shape) * sigma
-        return self._flatten(ppd, combine_chains)
+        return self._na_expand(self._flatten(ppd, combine_chains), sample)
 
     def fitted(self, type: str = "ev", sample: str = "train", **kw):
         """Posterior mean of extract(type) (generics.R:476-508)."""
@@ -554,6 +572,52 @@ class Stan4bartFit:
                 if not n.endswith("__")]
         arr = np.moveaxis(stan[..., keep], 0, 1)  # (iter, chains, params)
         return arr, self.parameter_names()
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save(self, path: str):
+        """Checkpoint the entire fit — draws, design, and live sampler state
+        (tree arrays + NUTS position/adaptation + RNG keys are all plain
+        arrays).  Generalizes the reference's tree-only exportBARTState
+        persistence (init.cpp:409-446; sampler resume is explicitly
+        unsupported there, man/stan4bart.Rd:243-247 — here it is supported
+        via continue_sampling)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "Stan4bartFit":
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def continue_sampling(self, iterations: int) -> "Stan4bartFit":
+        """Resume the chains from their final state for ``iterations`` more
+        post-warmup draws; returns a new fit with the draws appended."""
+        import jax
+        import jax.numpy as jnp
+        from dataclasses import replace
+
+        if self.final_states is None:
+            raise ValueError("no final sampler state was stored")
+        prog = self.prog
+
+        def more(state):
+            def body(state, it):
+                return prog.step(state, it, False)
+
+            return jax.lax.scan(body, state, jnp.arange(int(iterations)))
+
+        states, new_draws = jax.jit(jax.vmap(more))(self.final_states)
+        new_draws = jax.tree_util.tree_map(np.asarray, new_draws)
+        merged = jax.tree_util.tree_map(
+            lambda a, b: np.concatenate([np.asarray(a), b], axis=1),
+            self.draws, new_draws,
+        )
+        return replace(self, draws=merged, final_states=states)
 
     # -- diagnostics ----------------------------------------------------------
 

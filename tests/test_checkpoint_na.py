@@ -1,0 +1,67 @@
+"""Checkpoint/resume (beyond-reference capability, SURVEY.md section 5) and
+na_action='exclude' re-expansion (test-03-na_action.R)."""
+
+import numpy as np
+import pytest
+
+import stan4bart_tpu as s4b
+from stan4bart_tpu.utils.friedman import friedman_dataframe, generate_friedman_data
+
+
+def test_save_load_roundtrip(tmp_path):
+    df = friedman_dataframe(generate_friedman_data(80, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, chains=2,
+                        warmup=20, iter=50, seed=0, verbose=-1,
+                        bart_args={"n.trees": 5})
+    p = str(tmp_path / "fit.pkl")
+    fit.save(p)
+    fit2 = s4b.Stan4bartFit.load(p)
+    np.testing.assert_allclose(fit2.extract("ev"), fit.extract("ev"))
+    np.testing.assert_allclose(fit2.extract("sigma"), fit.extract("sigma"))
+
+
+def test_continue_sampling():
+    df = friedman_dataframe(generate_friedman_data(80, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, chains=2,
+                        warmup=20, iter=50, seed=0, verbose=-1,
+                        bart_args={"n.trees": 5})
+    fit2 = fit.continue_sampling(40)
+    assert fit2.iterations == fit.iterations + 40
+    # original draws preserved
+    np.testing.assert_allclose(fit2.draws.stan[:, : fit.iterations],
+                               fit.draws.stan)
+    # new draws are sane
+    ev = fit2.extract("ev")
+    assert ev.shape[-1] == (fit2.iterations - fit2.warmup) * 2
+    assert np.all(np.isfinite(ev))
+
+
+def test_na_exclude_reinserts():
+    d = generate_friedman_data(90)
+    df = friedman_dataframe(d)
+    df["X1"] = df["X1"].copy()
+    df["X1"][[3, 17]] = np.nan        # bart-component NAs
+    df["X4"] = df["X4"].copy()
+    df["X4"][7] = np.nan              # fixed-component NA
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4", df, chains=1,
+                        warmup=15, iter=40, seed=0, verbose=-1,
+                        na_action="exclude", bart_args={"n.trees": 4})
+    assert fit.mf.N == 87
+    ev = fit.extract("ev")
+    assert ev.shape[0] == 90
+    assert np.isnan(ev[[3, 7, 17]]).all()
+    assert np.isfinite(ev[np.setdiff1d(np.arange(90), [3, 7, 17])]).all()
+    fitted = fit.fitted("ev")
+    assert np.isnan(fitted[[3, 7, 17]]).all()
+
+
+def test_na_omit_drops():
+    d = generate_friedman_data(90)
+    df = friedman_dataframe(d)
+    df["X1"] = df["X1"].copy()
+    df["X1"][[3, 17]] = np.nan
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4", df, chains=1,
+                        warmup=15, iter=40, seed=0, verbose=-1,
+                        na_action="omit", bart_args={"n.trees": 4})
+    assert fit.mf.N == 88
+    assert fit.extract("ev").shape[0] == 88
