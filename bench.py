@@ -14,14 +14,15 @@ dbarts-scale timings); the north-star target is >= 10x that (BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
 
 N = 10_000
-CHAINS = 4
-WARMUP = 150         # enough for windowed metric adaptation to engage
+CHAINS = int(os.environ.get("BENCH_CHAINS", "4"))
+WARMUP = 200         # enough for windowed metric adaptation to engage
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
 NUM_TREES = 75
@@ -29,6 +30,10 @@ NUM_TREES = 75
 
 def main():
     import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     import numpy as np
 
@@ -70,7 +75,9 @@ def main():
     def sample(state):
         def body(state, it):
             state, draw = prog.step(state, it, False)
-            return state, (draw.stan[0], draw.k)
+            # lp, stepsize, treedepth, n_leapfrog (telemetry -> stderr)
+            return state, (draw.stan[0], draw.stan[2], draw.stan[3],
+                           draw.stan[4])
 
         return jax.lax.scan(body, state, jnp.arange(CHUNK))
 
@@ -93,6 +100,7 @@ def main():
     states = with_retry(init_fn, keys, label="init")
     for w0 in range(0, WARMUP, CHUNK):
         states = with_retry(warm_fn, states, w0, label=f"warmup@{w0}")
+    states = prog._disengage(states)
     states, _ = with_retry(sample_fn, states, label="sample-compile")
 
     t0 = time.perf_counter()
@@ -104,6 +112,12 @@ def main():
     draws_per_s = CHAINS * CHUNK * N_CHUNKS / elapsed
     lp = np.asarray(last[0])
     assert np.all(np.isfinite(lp)), "non-finite lp in bench draws"
+    print(
+        f"# sampling stepsize={np.asarray(last[1]).mean():.2e} "
+        f"treedepth={np.asarray(last[2]).mean():.2f} "
+        f"n_leapfrog={np.asarray(last[3]).mean():.0f}",
+        file=sys.stderr,
+    )
 
     print(json.dumps({
         "metric": "aggregate draws/s, Friedman n=10k, 4 chains, 75 trees",

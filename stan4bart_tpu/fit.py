@@ -160,6 +160,7 @@ def stan4bart(
     weights=None,
     offset_type: str = "default",
     na_action: str = "omit",
+    chunk_size: int | None = None,
     dtype=None,
 ):
     """Fit a semiparametric BART + multilevel model. Returns Stan4bartFit.
@@ -267,14 +268,21 @@ def stan4bart(
     else:
         cb = callback if not keep_fits else None
 
-    def run_one(key):
-        return prog.run_chain(
-            key, bart_offset_init=boi, sigma_init=sigma_init,
-            keep_warmup=True, callback=cb,
+    if chunk_size is not None:
+        # host-chunked execution: progress reporting + time-capped devices
+        final_states, draws = prog.run_chains_chunked(
+            keys, chunk_size, bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True, callback=cb, verbose=verbose,
         )
+    else:
+        def run_one(key):
+            return prog.run_chain(
+                key, bart_offset_init=boi, sigma_init=sigma_init,
+                keep_warmup=True, callback=cb,
+            )
 
-    run_all = jax.jit(jax.vmap(run_one))
-    final_states, draws = run_all(keys)
+        run_all = jax.jit(jax.vmap(run_one))
+        final_states, draws = run_all(keys)
     draws = jax.tree_util.tree_map(np.asarray, draws)
     callback_draws = None
     if callback is not None and keep_fits:

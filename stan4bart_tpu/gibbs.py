@@ -239,6 +239,11 @@ class GibbsProgram:
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 
         nuts = nuts_init(None, q0, stepsize=1.0)
+        scale_y = (1.0 if self.is_binary
+                   else float(np.std(np.asarray(self.y), ddof=1)))
+        nuts = nuts._replace(inv_mass=jnp.asarray(
+            pm.initial_inv_mass(scale_y, self.N), dtype=self.dtype
+        ))
         # stepsize search against the initial conditional posterior
         y_stan = latents if self.is_binary else self.y
         logp = lambda u: pm.log_prob(u, stan_offset, y_stan)  # noqa: E731
@@ -399,17 +404,7 @@ class GibbsProgram:
         state, warm_draws = jax.lax.scan(
             make_phase(True), state, jnp.arange(self.warmup)
         )
-        # disengage adaptation: freeze stepsize at the averaged value
-        # (interruptable_sampler.hpp:206-210)
-        state = state._replace(nuts=state.nuts._replace(
-            da=state.nuts.da._replace(
-                log_eps=jnp.where(
-                    state.nuts.da.count > 0,
-                    state.nuts.da.log_eps_bar,
-                    state.nuts.da.log_eps,
-                )
-            )
-        ))
+        state = self._disengage(state)
         state, draws = jax.lax.scan(
             make_phase(False), state, jnp.arange(self.iterations)
         )
@@ -419,6 +414,71 @@ class GibbsProgram:
                 warm_draws, draws,
             )
         return state, draws
+
+    def _disengage(self, state: GibbsState) -> GibbsState:
+        """Freeze stepsize at the dual-averaged value
+        (interruptable_sampler.hpp:206-210)."""
+        return state._replace(nuts=state.nuts._replace(
+            da=state.nuts.da._replace(
+                log_eps=jnp.where(
+                    state.nuts.da.count > 0,
+                    state.nuts.da.log_eps_bar,
+                    state.nuts.da.log_eps,
+                )
+            )
+        ))
+
+    def run_chains_chunked(self, keys, chunk_size: int,
+                           bart_offset_init=None, sigma_init=1.0,
+                           keep_warmup: bool = True, callback=None,
+                           verbose: int = 0):
+        """Host-driven chunked execution: same sampler as run_chain but each
+        device execution covers <= chunk_size iterations.  Needed where
+        single executions are time-capped (the axon TPU tunnel kills runs
+        over ~60s) and enables between-chunk progress reporting (the
+        reference's refresh printing, init.cpp:753-754)."""
+        import numpy as np
+
+        chunk_size = int(chunk_size)
+
+        def wrap(draw):
+            return callback(draw) if callback is not None else draw
+
+        def init_one(key):
+            return self.init_state(key, bart_offset_init, sigma_init)
+
+        def chunk(state, it0, n, is_warmup):
+            def body(state, i):
+                state, draw = self.step(state, it0 + i, is_warmup)
+                return state, wrap(draw)
+
+            return jax.lax.scan(body, state, jnp.arange(n))
+
+        init_fn = jax.jit(jax.vmap(init_one))
+        warm_fn = jax.jit(jax.vmap(
+            lambda s, it0, n: chunk(s, it0, n, True),
+            in_axes=(0, None, None)), static_argnums=(2,))
+        samp_fn = jax.jit(jax.vmap(
+            lambda s, it0, n: chunk(s, it0, n, False),
+            in_axes=(0, None, None)), static_argnums=(2,))
+
+        states = init_fn(keys)
+        pieces = []
+        for phase, fn, total in (("warmup", warm_fn, self.warmup),
+                                 ("sample", samp_fn, self.iterations)):
+            if phase == "sample":
+                states = self._disengage(states)
+            for it0 in range(0, total, chunk_size):
+                n = min(chunk_size, total - it0)
+                states, draws = jax.block_until_ready(fn(states, it0, n))
+                if phase == "sample" or keep_warmup:
+                    pieces.append(jax.tree_util.tree_map(np.asarray, draws))
+                if verbose > 0:
+                    print(f"  {phase} {it0 + n} / {total}", flush=True)
+        merged = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *pieces
+        )
+        return states, merged
 
     def stan_names(self) -> list[str]:
         return [

@@ -340,7 +340,10 @@ def make_b(cfg: ParametricConfig, z_b, theta_L):
             T = jnp.zeros((nc, nc), dtype=z_b.dtype)
             T = T.at[jnp.array(rows), jnp.array(cols)].set(jnp.stack(vals))
             zseg = z_b[b_mark : b_mark + nc * li].reshape(li, nc)
-            out.append((zseg @ T.T).reshape(-1))
+            out.append(
+                jnp.dot(zseg, T.T,
+                        precision=jax.lax.Precision.HIGHEST).reshape(-1)
+            )
             b_mark += nc * li
     if not out:
         return jnp.zeros(0, dtype=z_b.dtype)
@@ -432,7 +435,11 @@ class ParametricModel:
         X = self.X if X is None else X
         if self.cfg.K == 0:
             return jnp.zeros(X.shape[0], dtype=self.dtype)
-        return X @ beta
+        # full f32 precision: the TPU MXU default casts inputs to bf16,
+        # which injects O(1) noise into the 10k-term log-density sum and
+        # collapses NUTS stepsize adaptation (measured: stepsize 1e-5,
+        # treedepth pinned at max)
+        return jnp.dot(X, beta, precision=jax.lax.Precision.HIGHEST)
 
     def eta_random(self, b, z_structs=None):
         """Z b via per-term gathers (TPU-native replacement for the
@@ -581,6 +588,34 @@ class ParametricModel:
             lp = lp + dists.gamma_lpdf(c["tau"], h["shape_decov"], 1.0)
 
         return lp + log_jac
+
+    def initial_inv_mass(self, scale_y: float, n_obs: int) -> np.ndarray:
+        """Analytic initial diagonal inverse-metric (posterior-variance
+        heuristics on the unconstrained scale).  The reference starts NUTS
+        from a unit metric and burns ~100 warmup iterations at treedepth
+        ~10 before the first window update; seeding approximate scales cuts
+        that cost without changing the adapted stationary behavior.
+
+        Scales are EARLY-CHAIN upper bounds (residual sd ~ sd(y) while the
+        BART fit is still poor): an over-wide metric only costs a few
+        leapfrogs, while an under-wide one can freeze a coordinate through
+        the first adaptation window and bias a short run (observed with a
+        sigma_init-based scale)."""
+        cfg = self.cfg
+        out = np.ones(self.num_upars)
+        prior_scale = np.asarray(self.hyper["prior_scale"])
+        safety = 4.0
+        for name, size, _ in self.layout.blocks:
+            off = self.layout.slices[name][0]
+            if name == "z_beta" and cfg.prior_dist in (1, 2) and cfg.K > 0:
+                # early beta_j sd ~ sd(y) / (sd(x_j) sqrt(n)); X is centered
+                sd_x = np.maximum(np.std(np.asarray(self.X), axis=0), 1e-8)
+                beta_sd = safety * scale_y / (sd_x * np.sqrt(n_obs))
+                out[off : off + size] = (beta_sd / prior_scale) ** 2
+            elif name == "aux_unscaled" and not cfg.is_binary:
+                # log-sd posterior variance ~ 1/(2n), scale-free
+                out[off] = safety**2 / (2.0 * n_obs)
+        return out
 
     # -- output packaging -----------------------------------------------------
 

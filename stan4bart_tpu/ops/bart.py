@@ -153,12 +153,13 @@ def _leaf_marginal_terms(n, s, sigma2, tau2, dtype):
 
 def leaf_stats(leaf_idx, resid, max_nodes):
     """Per-node (count, resid-sum) via a one-hot matmul (MXU-friendly:
-    N x MAXN with MAXN padded near 128)."""
+    N x MAXN with MAXN padded near 128).  Full f32 accumulation — the MXU
+    bf16 default loses ~3 digits on 10k-obs sufficient statistics."""
     onehot = (
         leaf_idx[:, None] == jnp.arange(max_nodes, dtype=jnp.int32)[None, :]
     ).astype(resid.dtype)
     counts = jnp.sum(onehot, axis=0)
-    sums = resid @ onehot
+    sums = jnp.dot(resid, onehot, precision=jax.lax.Precision.HIGHEST)
     return counts, sums
 
 
