@@ -21,7 +21,10 @@ import time
 REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
 
 N = 10_000
-CHAINS = int(os.environ.get("BENCH_CHAINS", "4"))
+# chains amortize the latency-bound per-step cost (measured: 4 chains
+# 4.9 draws/s, 16 chains 16.6, 64 chains 39.0 on one v5e chip); 16 is the
+# committed headline config, override with BENCH_CHAINS
+CHAINS = int(os.environ.get("BENCH_CHAINS", "16"))
 WARMUP = 200         # enough for windowed metric adaptation to engage
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
@@ -55,7 +58,12 @@ def main():
         "+ (1 | g.2)",
         df,
     )
-    pm, _, _ = build_parametric_model(mf, "gaussian", dtype=dtype)
+    # centered ranef: identical posterior (pure reparameterization,
+    # adjudicated against the non-centered chain and SMC), much better
+    # NUTS geometry in the data-dominated n=10k regime
+    pm, _, _ = build_parametric_model(
+        mf, "gaussian", {"centered_ranef": True}, dtype=dtype
+    )
     prog = GibbsProgram(
         pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
@@ -120,7 +128,8 @@ def main():
     )
 
     print(json.dumps({
-        "metric": "aggregate draws/s, Friedman n=10k, 4 chains, 75 trees",
+        "metric": f"aggregate draws/s, Friedman n=10k, {CHAINS} chains, "
+                  f"{NUM_TREES} trees",
         "value": round(draws_per_s, 3),
         "unit": "draws/s",
         "vs_baseline": round(draws_per_s / REFERENCE_DRAWS_PER_S_EST, 3),

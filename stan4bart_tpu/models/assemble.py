@@ -33,6 +33,9 @@ class StanArgs:
     prior_aux: dict | None = None
     prior_covariance: dict | None = None
     qr: bool = False
+    # centered random-effect parameterization (same posterior, better
+    # geometry when data dominates; see ParametricConfig.centered)
+    centered_ranef: bool = False
     init_r: float = 2.0
     adapt_gamma: float = 0.05
     adapt_delta: float = 0.8
@@ -125,6 +128,7 @@ def build_parametric_model(
         p=tuple(mf.p),
         l=tuple(mf.l),
         num_normals=num_normals,
+        centered=bool(stan_args.centered_ranef),
     )
 
     t = cfg.t

@@ -64,6 +64,13 @@ class ParametricConfig:
     p: tuple = ()
     l: tuple = ()
     num_normals: tuple = ()         # only for prior_dist == 7
+    # centered random-effect parameterization: sample b directly with a
+    # MVN(0, T T') prior instead of b = T z_b, z_b ~ N(0,1).  SAME posterior
+    # (pure reparameterization), radically better geometry in the
+    # data-dominated regime: at n=10k the reference's non-centered rstanarm
+    # parameterization forms a curved (z_b, tau) ridge that pins NUTS at
+    # max treedepth with stepsize ~5e-4 (measured on CPU x64 and TPU alike)
+    centered: bool = False
 
     @property
     def q(self) -> int:
@@ -122,7 +129,7 @@ def make_layout(cfg: ParametricConfig):
     add("caux", 1 if cfg.hs > 0 else 0, _POS)
     add("mix", cfg.K if cfg.prior_dist in (5, 6) else 0, _POS)
     add("one_over_lambda", 1 if cfg.prior_dist == 6 else 0, _POS)
-    add("z_b", cfg.q, _ID)
+    add("b_raw" if cfg.centered else "z_b", cfg.q, _ID)
     add("z_T", cfg.len_z_T, _ID)
     add("rho", cfg.len_rho, _UNIT)
     add("zeta", cfg.len_concentration, _POS)
@@ -426,7 +433,10 @@ class ParametricModel:
             c.get("rho", jnp.zeros(0, self.dtype)),
             c.get("z_T", jnp.zeros(0, self.dtype)),
         )
-        b = make_b(cfg, c.get("z_b", jnp.zeros(0, self.dtype)), theta_L)
+        if cfg.centered:
+            b = c.get("b_raw", jnp.zeros(0, self.dtype))
+        else:
+            b = make_b(cfg, c.get("z_b", jnp.zeros(0, self.dtype)), theta_L)
         return dict(aux=aux, beta=beta, theta_L=theta_L, b=b)
 
     # -- linear predictor pieces --------------------------------------------
@@ -559,9 +569,14 @@ class ParametricModel:
                     h["prior_scale_for_intercept"],
                 )
 
-        # decov_lp (continuous.stan:96-122)
+        # decov_lp (continuous.stan:96-122); centered variant replaces the
+        # standard-normal z_b prior with the equivalent MVN(0, T T') prior
+        # on b itself (triangular solves against the theta_L blocks)
         if cfg.q > 0:
-            lp = lp + dists.normal_lpdf(c["z_b"])
+            if cfg.centered:
+                lp = lp + self._centered_b_lpdf(c["b_raw"], tp["theta_L"])
+            else:
+                lp = lp + dists.normal_lpdf(c["z_b"])
             if cfg.len_z_T > 0:
                 lp = lp + dists.normal_lpdf(c["z_T"])
             rho_mark = 0
@@ -589,6 +604,45 @@ class ParametricModel:
 
         return lp + log_jac
 
+    def _centered_b_lpdf(self, b, theta_L):
+        """Sum over terms/levels of MVN(b_level | 0, T_i T_i') with T_i
+        unpacked from the theta_L vech blocks."""
+        cfg = self.cfg
+        _LOG_SQRT_2PI = 0.9189385332046727417803297364056176
+        lp = jnp.zeros((), dtype=self.dtype)
+        b_mark = 0
+        th_mark = 0
+        for nc, li in zip(cfg.p, cfg.l):
+            if nc == 1:
+                theta = theta_L[th_mark]
+                seg = b[b_mark : b_mark + li]
+                z = seg / theta
+                lp = lp + jnp.sum(-0.5 * z * z) \
+                    - li * (jnp.log(jnp.abs(theta)) + _LOG_SQRT_2PI)
+                b_mark += li
+                th_mark += 1
+            else:
+                rows, cols, vals = [], [], []
+                for ci in range(nc):
+                    for ri in range(ci, nc):
+                        rows.append(ri)
+                        cols.append(ci)
+                        vals.append(theta_L[th_mark])
+                        th_mark += 1
+                T = jnp.zeros((nc, nc), dtype=self.dtype)
+                T = T.at[jnp.array(rows), jnp.array(cols)].set(
+                    jnp.stack(vals)
+                )
+                seg = b[b_mark : b_mark + nc * li].reshape(li, nc)
+                w = jax.scipy.linalg.solve_triangular(
+                    T, seg.T, lower=True
+                )
+                logdet = jnp.sum(jnp.log(jnp.abs(jnp.diag(T))))
+                lp = lp + jnp.sum(-0.5 * w * w) \
+                    - li * (logdet + nc * _LOG_SQRT_2PI)
+                b_mark += nc * li
+        return lp
+
     def initial_inv_mass(self, scale_y: float, n_obs: int) -> np.ndarray:
         """Analytic initial diagonal inverse-metric (posterior-variance
         heuristics on the unconstrained scale).  The reference starts NUTS
@@ -615,6 +669,10 @@ class ParametricModel:
             elif name == "aux_unscaled" and not cfg.is_binary:
                 # log-sd posterior variance ~ 1/(2n), scale-free
                 out[off] = safety**2 / (2.0 * n_obs)
+            elif name == "b_raw":
+                # centered b: marginal prior sd ~ tau * scale * sigma;
+                # over-wide is safe, adaptation shrinks it
+                out[off : off + size] = max(scale_y, 1.0) ** 2
         return out
 
     # -- output packaging -----------------------------------------------------

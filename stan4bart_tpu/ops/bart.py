@@ -158,9 +158,9 @@ def leaf_stats(leaf_idx, resid, max_nodes):
     onehot = (
         leaf_idx[:, None] == jnp.arange(max_nodes, dtype=jnp.int32)[None, :]
     ).astype(resid.dtype)
-    counts = jnp.sum(onehot, axis=0)
-    sums = jnp.dot(resid, onehot, precision=jax.lax.Precision.HIGHEST)
-    return counts, sums
+    stacked = jnp.stack([jnp.ones_like(resid), resid])  # (2, N)
+    out = jnp.dot(stacked, onehot, precision=jax.lax.Precision.HIGHEST)
+    return out[0], out[1]
 
 
 def walk_tree(feature, cut, ranks, max_depth):
@@ -184,6 +184,11 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     """One grow/prune/change MH step for a single tree.
 
     tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns updated tree.
+
+    The three moves share one unified data path (chains are vmapped, so a
+    lax.switch would execute every branch per chain anyway): one member
+    mask, three masked sufficient-statistic pairs, five shared
+    integrated-likelihood terms, and move-selected accept/update logic.
     """
     feature, cut, leaf_idx = tree
     M = cfg.max_nodes
@@ -191,10 +196,11 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     left_ids = jnp.minimum(2 * node_ids + 1, M - 1)
     right_ids = jnp.minimum(2 * node_ids + 2, M - 1)
 
-    rng_move, rng_leaf, rng_var, rng_cut, rng_acc = jax.random.split(rng, 5)
+    rng_move, rng_leaf, rng_nog, rng_var, rng_cut, rng_acc = (
+        jax.random.split(rng, 6)
+    )
 
     is_leaf = feature == LEAF
-    can_be_internal = depths < cfg.max_depth
     is_internal = feature >= 0
     is_nog = (is_internal
               & (feature[left_ids] == LEAF) & (feature[right_ids] == LEAF))
@@ -204,9 +210,9 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     u_move = jax.random.uniform(rng_move)
     do_grow = u_move < cfg.p_grow
     do_prune = (~do_grow) & (u_move < cfg.p_grow + cfg.p_prune)
-    # else: change
+    do_change = ~(do_grow | do_prune)
 
-    # shared proposal draws ---------------------------------------------
+    # proposal draws ---------------------------------------------------
     v_new = jax.random.categorical(rng_var, jnp.log(split_probs)).astype(
         jnp.int32
     )
@@ -215,135 +221,87 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     go_left_new = rank_v <= c_new
     log_u = jnp.log(jax.random.uniform(rng_acc, dtype=dtype))
 
-    p_grow_move = jnp.asarray(cfg.p_grow, dtype)
-    p_prune_move = jnp.asarray(cfg.p_prune, dtype)
+    # node selection: a leaf for grow, a NOG node for prune/change
+    eta_grow = _pick_marked(is_leaf, n_leaf, rng_leaf)
+    eta_pc = _pick_marked(is_nog, jnp.maximum(n_nog, 1), rng_nog)
+    eta = jnp.where(do_grow, eta_grow, eta_pc)
+    lft = jnp.minimum(2 * eta + 1, M - 1)
+    rgt = jnp.minimum(2 * eta + 2, M - 1)
+
+    # unified masks & sufficient statistics -----------------------------
+    is_lft = leaf_idx == lft
+    members = jnp.where(do_grow, leaf_idx == eta, is_lft | (leaf_idx == rgt))
 
     def masked_stats(mask):
         n = jnp.sum(mask.astype(dtype))
         s = jnp.sum(jnp.where(mask, resid, 0.0))
         return n, s
 
-    # ---------------------------------------------------------- GROW
-    def grow():
-        eta = _pick_marked(is_leaf, n_leaf, rng_leaf)
-        valid = depths[eta] < cfg.max_depth
-        members = leaf_idx == eta
-        n_all, s_all = masked_stats(members)
-        n_l, s_l = masked_stats(members & go_left_new)
-        n_r, s_r = n_all - n_l, s_all - s_l
-        valid &= (n_l > 0) & (n_r > 0)
+    n_all, s_all = masked_stats(members)
+    n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
+    n_rn, s_rn = n_all - n_ln, s_all - s_ln
+    n_lo, s_lo = masked_stats(is_lft)                  # current left
+    n_ro, s_ro = n_all - n_lo, s_all - s_lo
 
-        d = depths[eta]
-        log_prior = (
-            jnp.log(p_split[d])
-            + 2.0 * jnp.log1p(-p_split[d + 1])
-            - jnp.log1p(-p_split[d])
-        )
-        # NOG count after grow: eta becomes NOG; its parent (if it was NOG)
-        # stops being one
-        parent = jnp.maximum((eta - 1) // 2, 0)
-        parent_was_nog = jnp.where(eta == 0, False, is_nog[parent])
-        n_nog_new = n_nog + 1 - parent_was_nog.astype(jnp.int32)
-        log_trans = (
-            jnp.log(p_prune_move) - jnp.log(p_grow_move)
-            + jnp.log(n_leaf.astype(dtype))
-            - jnp.log(n_nog_new.astype(dtype))
-        )
-        log_lik = (
-            _leaf_marginal_terms(n_l, s_l, sigma2, tau2, dtype)
-            + _leaf_marginal_terms(n_r, s_r, sigma2, tau2, dtype)
-            - _leaf_marginal_terms(n_all, s_all, sigma2, tau2, dtype)
-        )
-        accept = valid & (log_u < log_prior + log_trans + log_lik)
+    m_all = _leaf_marginal_terms(n_all, s_all, sigma2, tau2, dtype)
+    m_ln = _leaf_marginal_terms(n_ln, s_ln, sigma2, tau2, dtype)
+    m_rn = _leaf_marginal_terms(n_rn, s_rn, sigma2, tau2, dtype)
+    m_lo = _leaf_marginal_terms(n_lo, s_lo, sigma2, tau2, dtype)
+    m_ro = _leaf_marginal_terms(n_ro, s_ro, sigma2, tau2, dtype)
 
-        lft, rgt = 2 * eta + 1, 2 * eta + 2
-        new_feature = feature.at[eta].set(v_new).at[lft].set(LEAF) \
-                             .at[rgt].set(LEAF)
-        new_cut = cut.at[eta].set(c_new)
-        new_leaf_idx = jnp.where(
-            members, jnp.where(go_left_new, lft, rgt), leaf_idx
-        )
-        return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(accept, new, old),
-            (new_feature, new_cut, new_leaf_idx),
-            (feature, cut, leaf_idx),
-        )
+    # structure-prior and transition terms --------------------------------
+    d = depths[eta]
+    split_term = (
+        jnp.log(p_split[d])
+        + 2.0 * jnp.log1p(-p_split[jnp.minimum(d + 1, cfg.max_depth + 1)])
+        - jnp.log1p(-p_split[d])
+    )
+    p_grow_move = jnp.asarray(cfg.p_grow, dtype)
+    p_prune_move = jnp.asarray(cfg.p_prune, dtype)
+    # grow: NOG count after the move (parent may stop being NOG)
+    parent = jnp.maximum((eta - 1) // 2, 0)
+    parent_was_nog = jnp.where(eta == 0, False, is_nog[parent])
+    n_nog_grow = n_nog + 1 - parent_was_nog.astype(jnp.int32)
+    log_trans_grow = (
+        jnp.log(p_prune_move) - jnp.log(p_grow_move)
+        + jnp.log(n_leaf.astype(dtype)) - jnp.log(n_nog_grow.astype(dtype))
+    )
+    log_trans_prune = (
+        jnp.log(p_grow_move) - jnp.log(p_prune_move)
+        + jnp.log(n_nog.astype(dtype))
+        - jnp.log(jnp.maximum(n_leaf - 1, 1).astype(dtype))
+    )
 
-    # ---------------------------------------------------------- PRUNE
-    def prune():
-        eta = _pick_marked(is_nog, jnp.maximum(n_nog, 1), rng_leaf)
-        valid = n_nog > 0
-        lft, rgt = 2 * eta + 1, 2 * eta + 2
-        members = (leaf_idx == lft) | (leaf_idx == rgt)
-        n_all, s_all = masked_stats(members)
-        n_l, s_l = masked_stats(leaf_idx == lft)
-        n_r, s_r = n_all - n_l, s_all - s_l
+    log_accept = jnp.where(
+        do_grow,
+        split_term + log_trans_grow + (m_ln + m_rn - m_all),
+        jnp.where(
+            do_prune,
+            -split_term + log_trans_prune + (m_all - m_lo - m_ro),
+            m_ln + m_rn - m_lo - m_ro,  # change: symmetric proposal
+        ),
+    )
+    valid = jnp.where(
+        do_grow,
+        (depths[eta] < cfg.max_depth) & (n_ln > 0) & (n_rn > 0),
+        jnp.where(do_prune, n_nog > 0,
+                  (n_nog > 0) & (n_ln > 0) & (n_rn > 0)),
+    )
+    accept = valid & (log_u < log_accept)
 
-        d = depths[eta]
-        log_prior = -(
-            jnp.log(p_split[d])
-            + 2.0 * jnp.log1p(-p_split[d + 1])
-            - jnp.log1p(-p_split[d])
-        )
-        n_leaf_new = n_leaf - 1
-        log_trans = (
-            jnp.log(p_grow_move) - jnp.log(p_prune_move)
-            + jnp.log(n_nog.astype(dtype))
-            - jnp.log(n_leaf_new.astype(dtype))
-        )
-        log_lik = (
-            _leaf_marginal_terms(n_all, s_all, sigma2, tau2, dtype)
-            - _leaf_marginal_terms(n_l, s_l, sigma2, tau2, dtype)
-            - _leaf_marginal_terms(n_r, s_r, sigma2, tau2, dtype)
-        )
-        accept = valid & (log_u < log_prior + log_trans + log_lik)
+    # unified updates -------------------------------------------------------
+    f_eta = jnp.where(do_prune, LEAF, v_new)
+    f_child = jnp.where(do_prune, INACTIVE, LEAF)
+    new_feature = feature.at[eta].set(f_eta)
+    # change keeps children as leaves; grow creates them; prune removes
+    new_feature = new_feature.at[lft].set(f_child).at[rgt].set(f_child)
+    new_cut = cut.at[eta].set(jnp.where(do_prune, cut[eta], c_new))
+    dest = jnp.where(do_prune, eta, jnp.where(go_left_new, lft, rgt))
+    new_leaf_idx = jnp.where(members, dest, leaf_idx)
 
-        new_feature = feature.at[eta].set(LEAF).at[lft].set(INACTIVE) \
-                             .at[rgt].set(INACTIVE)
-        new_leaf_idx = jnp.where(members, eta, leaf_idx)
-        return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(accept, new, old),
-            (new_feature, cut, new_leaf_idx),
-            (feature, cut, leaf_idx),
-        )
-
-    # ---------------------------------------------------------- CHANGE
-    def change():
-        eta = _pick_marked(is_nog, jnp.maximum(n_nog, 1), rng_leaf)
-        valid = n_nog > 0
-        lft, rgt = 2 * eta + 1, 2 * eta + 2
-        members = (leaf_idx == lft) | (leaf_idx == rgt)
-        n_all, s_all = masked_stats(members)
-        # old children stats
-        n_lo, s_lo = masked_stats(leaf_idx == lft)
-        n_ro, s_ro = n_all - n_lo, s_all - s_lo
-        # proposed children stats
-        n_ln, s_ln = masked_stats(members & go_left_new)
-        n_rn, s_rn = n_all - n_ln, s_all - s_ln
-        valid &= (n_ln > 0) & (n_rn > 0)
-
-        # node set & (v,c) proposal symmetric; prior var/cut terms cancel
-        log_lik = (
-            _leaf_marginal_terms(n_ln, s_ln, sigma2, tau2, dtype)
-            + _leaf_marginal_terms(n_rn, s_rn, sigma2, tau2, dtype)
-            - _leaf_marginal_terms(n_lo, s_lo, sigma2, tau2, dtype)
-            - _leaf_marginal_terms(n_ro, s_ro, sigma2, tau2, dtype)
-        )
-        accept = valid & (log_u < log_lik)
-
-        new_feature = feature.at[eta].set(v_new)
-        new_cut = cut.at[eta].set(c_new)
-        new_leaf_idx = jnp.where(
-            members, jnp.where(go_left_new, lft, rgt), leaf_idx
-        )
-        return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(accept, new, old),
-            (new_feature, new_cut, new_leaf_idx),
-            (feature, cut, leaf_idx),
-        )
-
-    move = jnp.where(do_grow, 0, jnp.where(do_prune, 1, 2))
-    return jax.lax.switch(move, [grow, prune, change])
+    pick = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
+    return (pick(new_feature, feature), pick(new_cut, cut),
+            pick(new_leaf_idx, leaf_idx))
 
 
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
