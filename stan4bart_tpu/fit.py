@@ -161,6 +161,7 @@ def stan4bart(
     offset_type: str = "default",
     na_action: str = "omit",
     chunk_size: int | None = None,
+    algorithm: str = "nuts",
     dtype=None,
 ):
     """Fit a semiparametric BART + multilevel model. Returns Stan4bartFit.
@@ -175,6 +176,8 @@ def stan4bart(
 
     if offset_type not in OFFSET_TYPES:
         raise ValueError(f"offset_type must be one of {OFFSET_TYPES}")
+    if algorithm not in ("nuts", "vi", "advi"):
+        raise ValueError("algorithm must be 'nuts' or 'vi'")
     if warmup is None:
         warmup = iter // 2
     iterations = iter - warmup
@@ -252,6 +255,7 @@ def stan4bart(
         nuts_cfg=nuts_cfg,
         init_r=resolved_stan_args.init_r,
         keep_trees=keep_trees_flag,
+        parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         dtype=dtype,
     )
 

@@ -51,6 +51,16 @@ OFFSET_DEFAULT, OFFSET_FIXEF, OFFSET_RANEF, OFFSET_BART, OFFSET_PARAMETRIC = (
 OFFSET_TYPES = ("default", "fixef", "ranef", "bart", "parametric")
 
 
+class ViState(NamedTuple):
+    """Streaming meanfield variational state for the VI-within-Gibbs
+    backend (mu, log-sd, RMSProp second-moment accumulator, step count)."""
+
+    mu: jnp.ndarray
+    omega: jnp.ndarray
+    acc: jnp.ndarray
+    count: jnp.ndarray
+
+
 class GibbsState(NamedTuple):
     nuts: NutsState
     bart: BartState
@@ -58,6 +68,8 @@ class GibbsState(NamedTuple):
     stan_offset: jnp.ndarray   # (N,) BART fit fed to Stan
     latents: jnp.ndarray       # (N,) probit latent response (unused o.w.)
     rng: jax.Array
+    vi: ViState = ViState(jnp.zeros(0), jnp.zeros(0), jnp.zeros(0),
+                          jnp.zeros(()))
 
 
 class GibbsDraw(NamedTuple):
@@ -98,9 +110,24 @@ class GibbsProgram:
         nuts_cfg: NutsConfig = NutsConfig(),
         init_r: float = 2.0,
         keep_trees: bool = False,
+        # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
+        # estimates (fixef, SATE) and the BART fit track NUTS closely but
+        # the residual-sd posterior is biased high (~1.8x on Friedman
+        # n=250) because q lags the moving conditional; use for fast
+        # exploratory fits, NUTS for inference
+        parametric_method: str = "nuts",   # "nuts" | "vi"
+        vi_steps: int = 5,
+        vi_mc: int = 4,
+        vi_eta: float = 0.5,
         dtype=jnp.float64,
     ):
         self.keep_trees = bool(keep_trees)
+        if parametric_method not in ("nuts", "vi"):
+            raise ValueError("parametric_method must be 'nuts' or 'vi'")
+        self.parametric_method = parametric_method
+        self.vi_steps = int(vi_steps)
+        self.vi_mc = int(vi_mc)
+        self.vi_eta = float(vi_eta)
         self.pm = pm
         self.bart_cfg = bart_cfg
         self.dtype = dtype
@@ -252,9 +279,22 @@ class GibbsProgram:
         nuts = nuts._replace(da=nuts.da._replace(
             log_eps=jnp.log(eps), mu=jnp.log(10.0 * eps)))
 
+        if self.parametric_method == "vi":
+            vi = ViState(
+                mu=q0,
+                omega=0.5 * jnp.log(jnp.asarray(
+                    pm.initial_inv_mass(scale_y, self.N), dtype=self.dtype
+                )),
+                acc=jnp.zeros(2 * pm.num_upars, dtype=self.dtype),
+                count=jnp.zeros((), dtype=self.dtype),
+            )
+        else:
+            vi = ViState(jnp.zeros(0, self.dtype), jnp.zeros(0, self.dtype),
+                         jnp.zeros(0, self.dtype),
+                         jnp.zeros((), self.dtype))
         return GibbsState(
             nuts=nuts, bart=bart_state, bart_offset=bart_offset,
-            stan_offset=stan_offset, latents=latents, rng=rng,
+            stan_offset=stan_offset, latents=latents, rng=rng, vi=vi,
         )
 
     # ------------------------------------------------------------------
@@ -272,31 +312,35 @@ class GibbsProgram:
         def logp(u):
             return pm.log_prob(u, stan_offset, y_stan)
 
-        def one_transition(j, nuts):
-            tr_idx = jnp.minimum(
-                it * self.skip_stan + j, self.n_sched - 1
-            )
-            if is_warmup:
-                flags = (self.sched_adapt[tr_idx],
-                         self.sched_collect[tr_idx],
-                         self.sched_window_end[tr_idx])
-            else:
-                f = jnp.asarray(False)
-                flags = (f, f, f)
-            return nuts_transition(
-                logp, nuts, jax.random.fold_in(rng_stan, j),
-                self.nuts_cfg, *flags,
-            )
+        vi = state.vi
+        if self.parametric_method == "vi":
+            nuts, info, vi = self._vi_update(state, logp, rng_stan)
+        else:
+            def one_transition(j, nuts):
+                tr_idx = jnp.minimum(
+                    it * self.skip_stan + j, self.n_sched - 1
+                )
+                if is_warmup:
+                    flags = (self.sched_adapt[tr_idx],
+                             self.sched_collect[tr_idx],
+                             self.sched_window_end[tr_idx])
+                else:
+                    f = jnp.asarray(False)
+                    flags = (f, f, f)
+                return nuts_transition(
+                    logp, nuts, jax.random.fold_in(rng_stan, j),
+                    self.nuts_cfg, *flags,
+                )
 
-        nuts = state.nuts
-        if self.skip_stan > 1:
-            # thin internally, keeping the last transition
-            # (interruptable_sampler.hpp:185-203)
-            nuts = jax.lax.fori_loop(
-                0, self.skip_stan - 1,
-                lambda j, s: one_transition(j, s)[0], nuts,
-            )
-        nuts, info = one_transition(self.skip_stan - 1, nuts)
+            nuts = state.nuts
+            if self.skip_stan > 1:
+                # thin internally, keeping the last transition
+                # (interruptable_sampler.hpp:185-203)
+                nuts = jax.lax.fori_loop(
+                    0, self.skip_stan - 1,
+                    lambda j, s: one_transition(j, s)[0], nuts,
+                )
+            nuts, info = one_transition(self.skip_stan - 1, nuts)
 
         # ---- (2) parametric mean -> BART offset -------------------------
         c, _ = pm.layout.constrain(nuts.q)
@@ -364,7 +408,7 @@ class GibbsProgram:
 
         new_state = GibbsState(
             nuts=nuts, bart=bart_state, bart_offset=bart_offset,
-            stan_offset=stan_offset, latents=latents, rng=rng,
+            stan_offset=stan_offset, latents=latents, rng=rng, vi=vi,
         )
         if self.keep_trees:
             draw = GibbsDraw(
@@ -414,6 +458,60 @@ class GibbsProgram:
                 warm_draws, draws,
             )
         return state, draws
+
+    def _vi_update(self, state: GibbsState, logp, rng):
+        """Streaming meanfield VI on the current conditional posterior: a
+        few reparameterized ELBO RMSProp steps, then one draw from q —
+        VI-within-Gibbs, the analog of dbarts' rbart_vi comparator
+        (test-02-binary.R:75-78) generalized to the full model class."""
+        from stan4bart_tpu.ops.nuts import NutsInfo
+
+        P = self.pm.num_upars
+        dtype = self.dtype
+        vi = state.vi
+
+        def neg_elbo(v, r):
+            mu, omega = v[:P], v[P:]
+            z = jax.random.normal(r, (self.vi_mc, P), dtype)
+            lp = jax.vmap(logp)(mu + z * jnp.exp(omega))
+            return -(jnp.mean(lp) + jnp.sum(omega))
+
+        def body(j, carry):
+            v, acc, cnt = carry
+            g = jax.grad(neg_elbo)(v, jax.random.fold_in(rng, 101 + j))
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            acc = jnp.where(cnt == 0.0, g * g, 0.9 * acc + 0.1 * g * g)
+            # RMSProp with slow decay: the conditional target moves every
+            # Gibbs iteration, so a constant rate oscillates and a Stan-like
+            # k^-1/2 freezes too early
+            rate = self.vi_eta * (1.0 + 0.02 * cnt) ** -0.5
+            v = v - rate / (1.0 + jnp.sqrt(acc)) * g
+            # keep log-sds sane under the moving target
+            v = v.at[P:].set(jnp.clip(v[P:], -12.0, 4.0))
+            return v, acc, cnt + 1.0
+
+        v0 = jnp.concatenate([vi.mu, vi.omega])
+        v, acc, cnt = jax.lax.fori_loop(
+            0, self.vi_steps, body, (v0, vi.acc, vi.count)
+        )
+        mu, omega = v[:P], v[P:]
+        u = mu + jax.random.normal(
+            jax.random.fold_in(rng, 7), (P,), dtype
+        ) * jnp.exp(omega)
+        lp_u = logp(u)
+        nuts = state.nuts._replace(q=u)
+        info = NutsInfo(
+            lp=lp_u,
+            accept_stat=jnp.ones((), dtype),
+            stepsize=jnp.asarray(self.vi_eta, dtype),
+            treedepth=jnp.zeros((), dtype),
+            n_leapfrog=jnp.asarray(
+                float(self.vi_steps * self.vi_mc), dtype
+            ),
+            divergent=jnp.zeros((), dtype),
+            energy=-lp_u,
+        )
+        return nuts, info, ViState(mu=mu, omega=omega, acc=acc, count=cnt)
 
     def _disengage(self, state: GibbsState) -> GibbsState:
         """Freeze stepsize at the dual-averaged value

@@ -653,6 +653,53 @@ class Stan4bartFit:
                     )
                     break
 
+    def summary(self, include_diagnostics: bool = True):
+        """Per-parameter posterior summary: mean, sd, 5%/95% quantiles,
+        split-R-hat, ESS.  The reference vendors Stan's R-hat/ESS without
+        calling them (SURVEY.md section 5); here they are part of the fit
+        surface.  Returns a dict of column arrays keyed by statistic, plus
+        'names'."""
+        from stan4bart_tpu.parallel.diagnostics import ess, split_rhat
+
+        arr, names = self.as_array()          # (iter, chains, params)
+        chains_first = np.moveaxis(arr, 1, 0)  # (chains, iter, params)
+        mean = chains_first.mean(axis=(0, 1))
+        sd = chains_first.std(axis=(0, 1), ddof=1)
+        q5, q95 = np.quantile(chains_first, [0.05, 0.95], axis=(0, 1))
+        rhat = np.asarray(split_rhat(chains_first))
+        ess_vals = np.array([
+            float(ess(chains_first[:, :, j]))
+            for j in range(chains_first.shape[-1])
+        ])
+        out = dict(names=names, mean=mean, sd=sd, q5=q5, q95=q95,
+                   rhat=rhat, ess=ess_vals)
+        if include_diagnostics:
+            stan = self.draws.stan[:, self.warmup :]
+            out["divergences"] = int(
+                stan[..., self._name_idx["divergent__"]].sum()
+            )
+            out["mean_treedepth"] = float(
+                stan[..., self._name_idx["treedepth__"]].mean()
+            )
+        return out
+
+    def print_summary(self, max_rows: int = 40):
+        """Readable posterior table (the reference's print/summary
+        generics)."""
+        s = self.summary()
+        print(self.__repr__())
+        header = f"{'parameter':<28}{'mean':>10}{'sd':>10}{'5%':>10}" \
+                 f"{'95%':>10}{'rhat':>8}{'ess':>8}"
+        print(header)
+        for j, name in enumerate(s["names"][:max_rows]):
+            print(f"{name:<28}{s['mean'][j]:>10.3f}{s['sd'][j]:>10.3f}"
+                  f"{s['q5'][j]:>10.3f}{s['q95'][j]:>10.3f}"
+                  f"{s['rhat'][j]:>8.3f}{s['ess'][j]:>8.0f}")
+        if len(s["names"]) > max_rows:
+            print(f"... ({len(s['names']) - max_rows} more parameters)")
+        print(f"divergences: {s['divergences']}  "
+              f"mean treedepth: {s['mean_treedepth']:.1f}")
+
     def __repr__(self):
         post = self.iterations - self.warmup
         return (
