@@ -248,6 +248,7 @@ def stan4bart(
         pm, bart_cfg, y, mf.bart_X,
         split_probs=split_probs,
         bart_X_test=test_frame.bart_X if test_frame is not None else None,
+        weights=mf.weights,
         user_offset=mf.offset,
         offset_type=offset_type,
         warmup=warmup, iterations=iterations,

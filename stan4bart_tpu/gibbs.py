@@ -101,6 +101,7 @@ class GibbsProgram:
         bart_X: np.ndarray,
         split_probs: np.ndarray | None = None,
         bart_X_test: np.ndarray | None = None,
+        weights: np.ndarray | None = None,
         user_offset: np.ndarray | None = None,
         offset_type: str = "default",
         warmup: int = 1000,
@@ -165,6 +166,10 @@ class GibbsProgram:
         self.user_offset = (
             jnp.asarray(user_offset, dtype=dtype)
             if user_offset is not None else None
+        )
+        self.weights = (
+            jnp.asarray(weights, dtype=dtype)
+            if weights is not None and len(np.asarray(weights)) else None
         )
         self.offset_type = OFFSET_TYPES.index(offset_type)
 
@@ -261,7 +266,7 @@ class GibbsProgram:
 
         bart_state, _ = bart_ops.bart_sweep(
             cfg, bart_state, y_target, self.ranks, self.split_probs,
-            sigma, rng_b,
+            sigma, rng_b, weights=self.weights,
         )
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 
@@ -376,7 +381,7 @@ class GibbsProgram:
                 y_target = self.y - bart_offset
             bart_state, varcount = bart_ops.bart_sweep(
                 cfg, bart_state, y_target, self.ranks, self.split_probs,
-                sigma, rng_j,
+                sigma, rng_j, weights=self.weights,
             )
             return bart_state, latents, varcount
 

@@ -60,6 +60,9 @@ class BartConfig(NamedTuple):
     # bart_args k = chi(df, scale) like the reference (stan4bart.R:202-210).
     k_df: float = 0.0
     k_scale: float = float("inf")
+    # fuse the per-tree proposal statistics into one Pallas VMEM pass
+    # (ops/bart_pallas.py); interpret-mode on non-TPU backends
+    use_pallas: bool = False
 
     @property
     def max_nodes(self) -> int:
@@ -151,14 +154,17 @@ def _leaf_marginal_terms(n, s, sigma2, tau2, dtype):
             + tau2 * s * s / (2.0 * sigma2 * denom)).astype(dtype)
 
 
-def leaf_stats(leaf_idx, resid, max_nodes):
+def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None):
     """Per-node (count, resid-sum) via a one-hot matmul (MXU-friendly:
     N x MAXN with MAXN padded near 128).  Full f32 accumulation — the MXU
-    bf16 default loses ~3 digits on 10k-obs sufficient statistics."""
+    bf16 default loses ~3 digits on 10k-obs sufficient statistics.
+    count_weights: per-obs likelihood weights replacing unit counts."""
     onehot = (
         leaf_idx[:, None] == jnp.arange(max_nodes, dtype=jnp.int32)[None, :]
     ).astype(resid.dtype)
-    stacked = jnp.stack([jnp.ones_like(resid), resid])  # (2, N)
+    ones = (jnp.ones_like(resid) if count_weights is None
+            else count_weights.astype(resid.dtype))
+    stacked = jnp.stack([ones, resid])  # (2, N)
     out = jnp.dot(stacked, onehot, precision=jax.lax.Precision.HIGHEST)
     return out[0], out[1]
 
@@ -180,7 +186,7 @@ def walk_tree(feature, cut, ranks, max_depth):
 
 
 def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
-               depths, p_split, dtype):
+               depths, p_split, dtype, count_weights=None):
     """One grow/prune/change MH step for a single tree.
 
     tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns updated tree.
@@ -232,15 +238,26 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     is_lft = leaf_idx == lft
     members = jnp.where(do_grow, leaf_idx == eta, is_lft | (leaf_idx == rgt))
 
-    def masked_stats(mask):
-        n = jnp.sum(mask.astype(dtype))
-        s = jnp.sum(jnp.where(mask, resid, 0.0))
-        return n, s
+    if cfg.use_pallas and count_weights is None:
+        from stan4bart_tpu.ops.bart_pallas import proposal_stats
 
-    n_all, s_all = masked_stats(members)
-    n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
+        n_all, s_all, n_ln, s_ln, n_lo, s_lo = proposal_stats(
+            resid, leaf_idx, rank_v, eta, lft, rgt, c_new,
+            do_grow.astype(jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        def masked_stats(mask):
+            cw = (mask.astype(dtype) if count_weights is None
+                  else jnp.where(mask, count_weights, 0.0))
+            n = jnp.sum(cw)
+            s = jnp.sum(jnp.where(mask, resid, 0.0))
+            return n, s
+
+        n_all, s_all = masked_stats(members)
+        n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
+        n_lo, s_lo = masked_stats(is_lft)                  # current left
     n_rn, s_rn = n_all - n_ln, s_all - s_ln
-    n_lo, s_lo = masked_stats(is_lft)                  # current left
     n_ro, s_ro = n_all - n_lo, s_all - s_lo
 
     m_all = _leaf_marginal_terms(n_all, s_all, sigma2, tau2, dtype)
@@ -305,13 +322,16 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
 
 
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
-               split_probs, sigma, rng):
+               split_probs, sigma, rng, weights=None):
     """One full Gibbs sweep over all trees (the reference's
     ``runSamplerWithResults`` with numSamples=1, init.cpp:821-824).
 
     y_target: response minus the parametric offset (original units; for
     probit, the latent z minus the offset).  sigma: residual sd (1 for
-    probit).  Returns (state, varcount (P,)).
+    probit).  weights: optional per-observation likelihood weights —
+    y_i ~ N(fit_i, sigma^2 / w_i), entering every sufficient statistic as
+    (sum w, sum w r) exactly as dbarts' weighted sampler does
+    (data.bart@weights, stan4bart_fit.R:436).  Returns (state, varcount).
     """
     dtype = state.allfit.dtype
     sigma2 = (sigma * sigma).astype(dtype)
@@ -321,6 +341,8 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     split_probs = jnp.asarray(split_probs, dtype=dtype)
     M = cfg.max_nodes
 
+    w = None if weights is None else jnp.asarray(weights, dtype)
+
     def per_tree(carry, inputs):
         allfit, rng = carry
         feature_j, cut_j, leaf_value_j, leaf_idx_j = inputs
@@ -328,14 +350,18 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
 
         fit_j = leaf_value_j[leaf_idx_j]
         resid = y_target - allfit + fit_j
+        # weighted sufficient statistics: (sum w, sum w r) with w = 1 o.w.
+        wresid = resid if w is None else w * resid
 
         feature_j, cut_j, leaf_idx_j = _tree_move(
-            cfg, (feature_j, cut_j, leaf_idx_j), resid, ranks,
+            cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
             split_probs, sigma2, tau2, rng_move, depths, p_split, dtype,
+            count_weights=w,
         )
 
         # conjugate leaf-mean draws for all leaves of this tree
-        counts, sums = leaf_stats(leaf_idx_j, resid, M)
+        counts, sums = leaf_stats(leaf_idx_j, wresid, M,
+                                  count_weights=w)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         noise = jax.random.normal(rng_mu, (M,), dtype)
