@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +146,17 @@ class ParamLayout:
             self.slices[name] = (off, size, kind)
             off += size
         self.num_upars = off
+        # vectorized transform masks: one exp/sigmoid pass over the whole
+        # vector instead of per-block slices (each small fusion costs ~13us
+        # of launch latency on TPU, and this runs twice per leapfrog)
+        kinds = np.concatenate([
+            np.full(size, {"id": 0, "pos": 1, "unit": 2}[kind])
+            for _, size, kind in self.blocks
+        ]) if self.blocks else np.zeros(0)
+        self._pos_mask = kinds == 1
+        self._unit_mask = kinds == 2
+        self._any_pos = bool(self._pos_mask.any())
+        self._any_unit = bool(self._unit_mask.any())
 
     def get(self, u, name):
         if name not in self.slices:
@@ -156,21 +166,22 @@ class ParamLayout:
 
     def constrain(self, u):
         """unconstrained vector -> dict of constrained blocks + log|Jacobian|."""
-        out, log_jac = {}, 0.0
+        pos = jnp.asarray(self._pos_mask)
+        unit = jnp.asarray(self._unit_mask)
+        x = u
+        log_jac = jnp.zeros((), u.dtype)
+        if self._any_pos:
+            x = jnp.where(pos, jnp.exp(u), x)
+            log_jac = log_jac + jnp.sum(jnp.where(pos, u, 0.0))
+        if self._any_unit:
+            x = jnp.where(unit, jax.nn.sigmoid(u), x)
+            log_jac = log_jac + jnp.sum(jnp.where(
+                unit, jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u), 0.0
+            ))
+        out = {}
         for name, size, kind in self.blocks:
             off, _, _ = self.slices[name]
-            seg = u[off : off + size]
-            if kind == _ID:
-                out[name] = seg
-            elif kind == _POS:
-                out[name] = jnp.exp(seg)
-                log_jac = log_jac + jnp.sum(seg)
-            else:  # _UNIT: (0,1) via logistic
-                x = jax.nn.sigmoid(seg)
-                out[name] = x
-                log_jac = log_jac + jnp.sum(
-                    jax.nn.log_sigmoid(seg) + jax.nn.log_sigmoid(-seg)
-                )
+            out[name] = x[off : off + size]
         return out, log_jac
 
     def unconstrain_dict(self, vals: dict) -> np.ndarray:
@@ -313,13 +324,6 @@ def make_theta_L(cfg: ParametricConfig, dispersion, tau, scale, zeta, rho, z_T):
     return jnp.concatenate(theta_L)
 
 
-_STAN_ONION_BUG_NOTE = """
-Note on make_theta_L row loop: the reference's generated code uses the rho
-value read *before* advancing std_dev for the off-diagonal scale factor and
-the same rho for the diagonal, exactly as continuous.stan:40-49; we match
-that ordering (scale_factor uses rho[rho_mark] with the *previous* row's
-std_dev, then std_dev advances to the new row's value for the diagonal).
-"""
 
 
 def make_b(cfg: ParametricConfig, z_b, theta_L):

@@ -137,10 +137,10 @@ def split_prob_by_depth(cfg: BartConfig) -> np.ndarray:
     return p
 
 
-def _pick_marked(mask, count, rng):
-    """Uniformly pick the index of one True entry of ``mask`` (count>0)."""
-    r = jax.random.uniform(rng)
-    target = jnp.floor(r * count).astype(jnp.int32)
+def _pick_marked(mask, count, u):
+    """Uniformly pick the index of one True entry of ``mask`` (count>0);
+    ``u`` is a uniform(0,1) variate (drawn in the per-tree batch)."""
+    target = jnp.floor(u * count).astype(jnp.int32)
     target = jnp.minimum(target, count.astype(jnp.int32) - 1)
     csum = jnp.cumsum(mask.astype(jnp.int32))
     return jnp.argmax(csum > target).astype(jnp.int32)
@@ -202,8 +202,11 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     left_ids = jnp.minimum(2 * node_ids + 1, M - 1)
     right_ids = jnp.minimum(2 * node_ids + 2, M - 1)
 
-    rng_move, rng_leaf, rng_nog, rng_var, rng_cut, rng_acc = (
-        jax.random.split(rng, 6)
+    # ONE batched uniform draw supplies every proposal variate (each extra
+    # RNG op is a separate ~13us kernel launch on TPU)
+    u = jax.random.uniform(rng, (6,), dtype=dtype)
+    u_move, u_leaf, u_nog, u_var, u_cut, u_acc = (
+        u[0], u[1], u[2], u[3], u[4], u[5]
     )
 
     is_leaf = feature == LEAF
@@ -213,23 +216,25 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     n_leaf = jnp.sum(is_leaf)
     n_nog = jnp.sum(is_nog)
 
-    u_move = jax.random.uniform(rng_move)
     do_grow = u_move < cfg.p_grow
     do_prune = (~do_grow) & (u_move < cfg.p_grow + cfg.p_prune)
-    do_change = ~(do_grow | do_prune)
 
     # proposal draws ---------------------------------------------------
-    v_new = jax.random.categorical(rng_var, jnp.log(split_probs)).astype(
-        jnp.int32
+    # categorical via inverse CDF on the (static) split-prob cumsum
+    v_new = jnp.searchsorted(
+        jnp.cumsum(split_probs), u_var, side="right"
+    ).astype(jnp.int32)
+    v_new = jnp.minimum(v_new, split_probs.shape[0] - 1)
+    c_new = jnp.minimum(
+        jnp.floor(u_cut * cfg.n_cuts).astype(jnp.int32), cfg.n_cuts - 1
     )
-    c_new = jax.random.randint(rng_cut, (), 0, cfg.n_cuts, dtype=jnp.int32)
     rank_v = jnp.take(ranks, v_new, axis=1)  # (N,)
     go_left_new = rank_v <= c_new
-    log_u = jnp.log(jax.random.uniform(rng_acc, dtype=dtype))
+    log_u = jnp.log(u_acc)
 
     # node selection: a leaf for grow, a NOG node for prune/change
-    eta_grow = _pick_marked(is_leaf, n_leaf, rng_leaf)
-    eta_pc = _pick_marked(is_nog, jnp.maximum(n_nog, 1), rng_nog)
+    eta_grow = _pick_marked(is_leaf, n_leaf, u_leaf)
+    eta_pc = _pick_marked(is_nog, jnp.maximum(n_nog, 1), u_nog)
     eta = jnp.where(do_grow, eta_grow, eta_pc)
     lft = jnp.minimum(2 * eta + 1, M - 1)
     rgt = jnp.minimum(2 * eta + 2, M - 1)

@@ -37,6 +37,11 @@ class NutsConfig(NamedTuple):
     kappa: float = 0.75      # adapt_kappa
     t0: float = 10.0         # adapt_t0
     max_delta_h: float = 1000.0
+    # skip Stan's init_stepsize re-search at metric-window boundaries and
+    # anchor the dual-averaging restart at the current running stepsize —
+    # against the Gibbs-moving conditional the one-leapfrog re-search can
+    # return a far-off value that the averaged iterate never recovers from
+    window_end_research: bool = True
 
 
 class DualAveragingState(NamedTuple):
@@ -230,7 +235,15 @@ def nuts_transition(
     inv_mass = state.inv_mass
     max_depth = cfg.max_treedepth
 
-    rng, rng_mom, rng_tree = jax.random.split(rng, 3)
+    rng, rng_mom, rng_tree, rng_traj = jax.random.split(rng, 4)
+    # pre-generate every per-leaf multinomial uniform and per-depth
+    # direction/progressive uniforms in two draws (each on-the-fly RNG op
+    # inside the trajectory loops is a separate ~13us kernel launch)
+    max_leaps = 2**max_depth
+    u_leaf_table = jax.random.uniform(rng_traj, (max_leaps + 1,), dtype)
+    u_depth_table = jax.random.uniform(
+        jax.random.fold_in(rng_traj, 1), (max_depth, 2), dtype
+    )
 
     stepsize = jnp.where(
         adapt_stepsize, jnp.exp(state.da.log_eps),
@@ -279,9 +292,11 @@ def nuts_transition(
         turning: jnp.ndarray
         rng: jax.Array
 
-    def build_subtree(depth, z0_q, z0_p, z0_grad, rng):
+    def build_subtree(depth, z0_q, z0_p, z0_grad, leap_offset):
         """Build 2^depth leapfrog states from z0 (exclusive), returning
-        subtree candidate + edge data.  Iterative with checkpoint stacks."""
+        subtree candidate + edge data.  Iterative with checkpoint stacks.
+        leap_offset: global leapfrog counter, indexes the pre-generated
+        uniform table."""
         num_leaves = jnp.asarray(2, jnp.int32) ** depth
 
         class SubCarry(NamedTuple):
@@ -300,7 +315,6 @@ def nuts_transition(
             ckpt_rho: jnp.ndarray     # (max_depth, P) rho before left edge
             turning: jnp.ndarray
             divergent: jnp.ndarray
-            rng: jax.Array
 
         def popcount(x):
             return jax.lax.population_count(x.astype(jnp.uint32)).astype(
@@ -309,7 +323,9 @@ def nuts_transition(
 
         def sub_body(c: SubCarry) -> SubCarry:
             n = c.leaf
-            rng, rng_mult = jax.random.split(c.rng)
+            u_mult = u_leaf_table[
+                jnp.minimum(leap_offset + n, max_leaps)
+            ]
             q, p, logp, grad = leapfrog(c.q, c.p, c.grad, stepsize)
             h = -logp + _kinetic(p, inv_mass)
             h = jnp.where(jnp.isnan(h), jnp.inf, h)
@@ -320,7 +336,7 @@ def nuts_transition(
             # multinomial update of the subtree candidate
             lsw_new = jnp.logaddexp(c.lsw, log_w)
             accept_prob = jnp.exp(log_w - lsw_new)
-            take = jax.random.uniform(rng_mult, dtype=dtype) < accept_prob
+            take = u_mult < accept_prob
             cand_q = jnp.where(take, q, c.cand_q)
             cand_logp = jnp.where(take, logp, c.cand_logp)
             cand_energy = jnp.where(take, h, c.cand_energy)
@@ -368,7 +384,6 @@ def nuts_transition(
                 lsw=lsw_new, sum_metro=sum_metro, begin_p=begin_p,
                 ckpt_p=ckpt_p, ckpt_rho=ckpt_rho,
                 turning=turning, divergent=c.divergent | divergent,
-                rng=rng,
             )
 
         def sub_cond(c: SubCarry):
@@ -388,15 +403,14 @@ def nuts_transition(
             ckpt_rho=jnp.zeros((max_depth + 1, P), dtype),
             turning=jnp.asarray(False),
             divergent=jnp.asarray(False),
-            rng=rng,
         )
         # run one leaf unconditionally, then loop
         c = jax.lax.while_loop(sub_cond, sub_body, sub_body(init))
         return c
 
     def outer_body(t: Carry) -> Carry:
-        rng, rng_dir, rng_sub, rng_prog = jax.random.split(t.rng, 4)
-        go_fwd = jax.random.bernoulli(rng_dir)
+        u_pair = u_depth_table[jnp.minimum(t.depth, max_depth - 1)]
+        go_fwd = u_pair[0] < 0.5
         edge_idx = jnp.where(go_fwd, 1, 0)
         sign = jnp.where(go_fwd, 1.0, -1.0).astype(dtype)
 
@@ -404,7 +418,7 @@ def nuts_transition(
         z0_p = t.edge_p[edge_idx] * sign  # integrate in +eps with flipped p
         z0_grad = t.edge_grad[edge_idx]
 
-        sub = build_subtree(t.depth, z0_q, z0_p, z0_grad, rng_sub)
+        sub = build_subtree(t.depth, z0_q, z0_p, z0_grad, t.n_leapfrog)
 
         n_leapfrog = t.n_leapfrog + sub.leaf
         sum_metro = t.sum_metro + sub.sum_metro
@@ -424,8 +438,7 @@ def nuts_transition(
         take_sub = jnp.where(
             sub.lsw > t.log_sum_weight,
             True,
-            jax.random.uniform(rng_prog, dtype=dtype)
-            < jnp.exp(sub.lsw - t.log_sum_weight),
+            u_pair[1] < jnp.exp(sub.lsw - t.log_sum_weight),
         )
         take_sub = take_sub & ~sub_invalid
         sample_q = jnp.where(take_sub, sub.cand_q, t.sample_q)
@@ -465,7 +478,7 @@ def nuts_transition(
             log_sum_weight=log_sum_weight,
             sum_metro=sum_metro, n_leapfrog=n_leapfrog,
             divergent=divergent, turning=turning,
-            rng=rng,
+            rng=t.rng,
         )
 
     def outer_cond(t: Carry):
@@ -507,12 +520,15 @@ def nuts_transition(
     def on_window_end(args):
         da, welford, inv_mass = args
         new_inv_mass = welford_variance(welford)
-        # re-init stepsize search then restart dual averaging (Stan
-        # adapt_diag_e_nuts window-end behavior)
-        eps = init_stepsize(
-            logdensity_fn, final.sample_q, new_inv_mass,
-            jnp.exp(da.log_eps), jax.random.fold_in(rng, 7),
-        )
+        if cfg.window_end_research:
+            # re-init stepsize search then restart dual averaging (Stan
+            # adapt_diag_e_nuts window-end behavior)
+            eps = init_stepsize(
+                logdensity_fn, final.sample_q, new_inv_mass,
+                jnp.exp(da.log_eps), jax.random.fold_in(rng, 7),
+            )
+        else:
+            eps = jnp.exp(da.log_eps)
         new_da = DualAveragingState(
             log_eps=jnp.log(eps),
             log_eps_bar=da.log_eps_bar,
