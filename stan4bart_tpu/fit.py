@@ -132,6 +132,32 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     return cfg, split_probs, keep_trees
 
 
+def _print_initial_summary(mf, family, bart_cfg, warmup, iterations, chains,
+                           skip_bart, skip_stan, stan_args, sigma_init):
+    """The reference's printInitialSummary (init.cpp:971-993): dump the
+    resolved control + model configuration before sampling."""
+    print(
+        f"stan4bart: {family} model, n = {mf.N}, "
+        f"fixed effects K = {mf.K}, bart predictors = {mf.bart_X.shape[1]}, "
+        f"ranef terms t = {len(mf.re_terms)} (q = {mf.q})"
+    )
+    print(
+        f"  chains = {chains}, warmup = {warmup}, draws = {iterations}, "
+        f"skip (bart, stan) = ({skip_bart}, {skip_stan})"
+    )
+    print(
+        f"  bart: trees = {bart_cfg.num_trees}, power = {bart_cfg.power}, "
+        f"base = {bart_cfg.base}, k = {bart_cfg.k_init}"
+        f"{' (chi hyperprior)' if bart_cfg.k_df > 0 else ''}, "
+        f"n.cuts = {bart_cfg.n_cuts}"
+    )
+    print(
+        f"  stan: adapt_delta = {stan_args.adapt_delta}, "
+        f"max_treedepth = {stan_args.max_treedepth}, "
+        f"init_r = {stan_args.init_r}, sigma_init = {sigma_init:.4g}"
+    )
+
+
 def chi(df=1.25, scale=float("inf")):
     """k hyperprior spec, mirroring the reference's chi() quoting
     (stan4bart.R:202-210)."""
@@ -259,6 +285,11 @@ def stan4bart(
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         dtype=dtype,
     )
+
+    if verbose >= 1:
+        _print_initial_summary(mf, family, bart_cfg, warmup, iterations,
+                               chains, skip_bart, skip_stan,
+                               resolved_stan_args, sigma_init)
 
     if seed is None:
         seed = np.random.SeedSequence().entropy % (2**31)

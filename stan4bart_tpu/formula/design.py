@@ -320,6 +320,17 @@ def build_model_frame(
             else np.ones((n_original, 1))
         )
         gidx, glevels = _group_index(rt.group, cols, None)
+        # dimension sanity checks (lme4_functions.R:768-864 checkNlevels)
+        if len(glevels) < 2:
+            raise ValueError(
+                f"grouping factor {rt.group!r} must have > 1 sampled level"
+            )
+        if len(glevels) >= n_original:
+            raise ValueError(
+                f"number of levels of grouping factor {rt.group!r} "
+                f"({len(glevels)}) must be < number of observations "
+                f"({n_original})"
+            )
         re_raw.append((rt, lhs, lhs_names, gidx, glevels))
 
     off = None

@@ -248,7 +248,11 @@ class GibbsProgram:
             if bart_offset_init is not None
             else jnp.zeros(self.N, dtype=self.dtype)
         )
-        bart_state = bart_ops.bart_init(cfg, self.N, dtype=self.dtype)
+        # draw tree structures from the CGM prior then run one sweep —
+        # the reference's init order (init.cpp:261-285)
+        bart_state = bart_ops.sample_trees_from_prior(
+            cfg, rng_b, self.ranks, self.split_probs, dtype=self.dtype
+        )
         bart_state = bart_state._replace(
             sigma_mu=self._sigma_mu(bart_offset, bart_state.k)
         )

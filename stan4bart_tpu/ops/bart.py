@@ -125,6 +125,62 @@ def bart_init(cfg: BartConfig, n_obs: int, dtype=jnp.float64) -> BartState:
     )
 
 
+def sample_trees_from_prior(cfg: BartConfig, rng, ranks, split_probs,
+                            dtype=jnp.float64) -> BartState:
+    """Draw tree STRUCTURES from the CGM prior (the reference's
+    ``sampleTreesFromPrior`` chain init, init.cpp:261): level by level,
+    each active leaf splits with probability base (1+d)^-power, variable ~
+    split.probs, cutpoint uniform.  Leaf values start at 0 (sampled by the
+    first sweep)."""
+    T, M = cfg.num_trees, cfg.max_nodes
+    n_obs = ranks.shape[0]
+    p_split = jnp.asarray(split_prob_by_depth(cfg), dtype)
+    depths = jnp.asarray(node_depths(cfg))
+    sp_cum = jnp.cumsum(jnp.asarray(split_probs, dtype))
+
+    u = jax.random.uniform(rng, (3, T, M), dtype)
+    want_split = u[0] < p_split[depths][None, :]
+    v = jnp.minimum(
+        jnp.searchsorted(sp_cum, u[1].reshape(-1), side="right")
+        .reshape(T, M).astype(jnp.int32),
+        len(np.asarray(split_probs)) - 1,
+    )
+    c = jnp.minimum((u[2] * cfg.n_cuts).astype(jnp.int32), cfg.n_cuts - 1)
+
+    # propagate activity down the heap: a node is active iff its parent
+    # split; root always active
+    feature = jnp.full((T, M), INACTIVE, dtype=jnp.int32)
+    active = jnp.zeros((T, M), dtype=bool).at[:, 0].set(True)
+    for i in range((M - 1) // 2):
+        is_internal = active[:, i] & want_split[:, i]
+        active = active.at[:, 2 * i + 1].set(is_internal)
+        active = active.at[:, 2 * i + 2].set(is_internal)
+        feature = feature.at[:, i].set(
+            jnp.where(is_internal, v[:, i],
+                      jnp.where(active[:, i], LEAF, INACTIVE))
+        )
+    # bottom level: any remaining active nodes are leaves
+    bottom = (M - 1) // 2
+    feature = feature.at[:, bottom:].set(
+        jnp.where(active[:, bottom:], LEAF, INACTIVE)
+    )
+    cut = jnp.where(feature >= 0, c, 0)
+
+    leaf_idx = jax.vmap(
+        lambda f, ct: walk_tree(f, ct, ranks, cfg.max_depth)
+    )(feature, cut)
+    return BartState(
+        feature=feature, cut=cut,
+        leaf_value=jnp.zeros((T, M), dtype=dtype),
+        leaf_idx=leaf_idx.astype(jnp.int32),
+        allfit=jnp.zeros(n_obs, dtype=dtype),
+        k=jnp.asarray(cfg.k_init, dtype=dtype),
+        sigma_mu=jnp.asarray(
+            cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)), dtype
+        ),
+    )
+
+
 def node_depths(cfg: BartConfig) -> np.ndarray:
     return np.floor(np.log2(np.arange(cfg.max_nodes) + 1)).astype(np.int32)
 
