@@ -21,10 +21,10 @@ import time
 REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
 
 N = 10_000
-# chains amortize the latency-bound per-step cost (measured: 4 chains
-# 4.9 draws/s, 16 chains 16.6, 64 chains 39.0 on one v5e chip); 16 is the
-# committed headline config, override with BENCH_CHAINS
-CHAINS = int(os.environ.get("BENCH_CHAINS", "16"))
+# chains amortize fixed per-step cost (measured post-gather-fix: 16 chains
+# 221 draws/s, 64 chains 377 on one v5e chip); 64 is the committed headline
+# config, override with BENCH_CHAINS
+CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
 WARMUP = 200         # enough for windowed metric adaptation to engage
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)

@@ -16,8 +16,22 @@ a ``jax.sharding.Mesh`` axis.
 Reference parity map: see SURVEY.md at the repo root.
 """
 
-from stan4bart_tpu.fit import stan4bart  # noqa: F401
+from stan4bart_tpu.fit import chi, stan4bart  # noqa: F401
 from stan4bart_tpu.models import priors  # noqa: F401
+from stan4bart_tpu.models.priors import (  # noqa: F401
+    cauchy,
+    decov,
+    exponential,
+    hs,
+    hs_plus,
+    laplace,
+    lasso,
+    normal,
+    product_normal,
+    student_t,
+)
+from stan4bart_tpu.parallel.diagnostics import ess, split_rhat  # noqa: F401
 from stan4bart_tpu.results import Stan4bartFit  # noqa: F401
+from stan4bart_tpu.utils.friedman import generate_friedman_data  # noqa: F401
 
 __version__ = "0.1.0"

@@ -456,8 +456,12 @@ class ParametricModel:
         return jnp.dot(X, beta, precision=jax.lax.Precision.HIGHEST)
 
     def eta_random(self, b, z_structs=None):
-        """Z b via per-term gathers (TPU-native replacement for the
-        reference's CSR matvec, continuous.hpp:1176-1197)."""
+        """Z b via per-term one-hot matmuls (TPU-native replacement for the
+        reference's CSR matvec, continuous.hpp:1176-1197).  Fancy-index
+        gathers compile to serialized kCustom gathers on TPU (~0.4 ms at
+        N=10k) and their AD transpose is a scatter-add; the (N, l) one-hot
+        matmul runs on the MXU with a matmul transpose, and the one-hot
+        build is loop-invariant so XLA hoists it out of the leapfrog loop."""
         zs = self.z_structs if z_structs is None else z_structs
         n = zs[0][0].shape[0] if zs else self.cfg.N
         eta = jnp.zeros(n, dtype=self.dtype)
@@ -465,10 +469,13 @@ class ParametricModel:
             zs, self.b_offsets, self.cfg.p, self.cfg.l
         ):
             b_mat = b[off : off + pi * li].reshape(li, pi)
-            # unseen levels (gidx == -1) contribute 0
-            safe = jnp.clip(gidx, 0, None)
-            contrib = jnp.sum(lhs * b_mat[safe], axis=1)
-            eta = eta + jnp.where(gidx >= 0, contrib, 0.0)
+            # unseen levels (gidx == -1) get an all-zero one-hot row
+            onehot = (
+                gidx[:, None] == jnp.arange(li, dtype=jnp.int32)[None, :]
+            ).astype(self.dtype)
+            per_obs = jnp.dot(onehot, b_mat,
+                              precision=jax.lax.Precision.HIGHEST)
+            eta = eta + jnp.sum(lhs * per_obs, axis=1)
         return eta
 
     def parametric_mean(self, c, tp, include_fixed=True, include_random=True):

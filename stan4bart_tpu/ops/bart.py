@@ -210,14 +210,29 @@ def _leaf_marginal_terms(n, s, sigma2, tau2, dtype):
             + tau2 * s * s / (2.0 * sigma2 * denom)).astype(dtype)
 
 
-def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None):
+def node_onehot(leaf_idx, max_nodes, dtype):
+    """(N, MAXN) one-hot of node membership.  Built explicitly and shared:
+    a fancy-index gather ``table[leaf_idx]`` compiles to a kCustom
+    serialized gather on TPU (profiled at 0.4 ms per call at N=10k — it was
+    the dominant cost of the whole sweep, 2 calls/tree); every table lookup
+    in the hot path is instead an MXU matmul against this one-hot."""
+    return (
+        leaf_idx[:, None] == jnp.arange(max_nodes, dtype=jnp.int32)[None, :]
+    ).astype(dtype)
+
+
+def table_lookup(onehot, table):
+    """values[n] = table[leaf_idx[n]] via (N, M) @ (M,) on the MXU."""
+    return jnp.dot(onehot, table, precision=jax.lax.Precision.HIGHEST)
+
+
+def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None, onehot=None):
     """Per-node (count, resid-sum) via a one-hot matmul (MXU-friendly:
     N x MAXN with MAXN padded near 128).  Full f32 accumulation — the MXU
     bf16 default loses ~3 digits on 10k-obs sufficient statistics.
     count_weights: per-obs likelihood weights replacing unit counts."""
-    onehot = (
-        leaf_idx[:, None] == jnp.arange(max_nodes, dtype=jnp.int32)[None, :]
-    ).astype(resid.dtype)
+    if onehot is None:
+        onehot = node_onehot(leaf_idx, max_nodes, resid.dtype)
     ones = (jnp.ones_like(resid) if count_weights is None
             else count_weights.astype(resid.dtype))
     stacked = jnp.stack([ones, resid])  # (2, N)
@@ -284,8 +299,15 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     c_new = jnp.minimum(
         jnp.floor(u_cut * cfg.n_cuts).astype(jnp.int32), cfg.n_cuts - 1
     )
-    rank_v = jnp.take(ranks, v_new, axis=1)  # (N,)
-    go_left_new = rank_v <= c_new
+    # column select as a one-hot matmul: dynamic-index column gathers also
+    # hit the slow kCustom gather path (ranks values <= n_cuts are exact in
+    # f32; the f32 cast is loop-invariant and hoisted out of the tree scan)
+    onehot_v = (
+        jnp.arange(ranks.shape[1], dtype=jnp.int32) == v_new
+    ).astype(dtype)
+    rank_v = jnp.dot(ranks.astype(dtype), onehot_v,
+                     precision=jax.lax.Precision.HIGHEST)  # (N,)
+    go_left_new = rank_v <= c_new.astype(dtype)
     log_u = jnp.log(u_acc)
 
     # node selection: a leaf for grow, a NOG node for prune/change
@@ -303,8 +325,8 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
         from stan4bart_tpu.ops.bart_pallas import proposal_stats
 
         n_all, s_all, n_ln, s_ln, n_lo, s_lo = proposal_stats(
-            resid, leaf_idx, rank_v, eta, lft, rgt, c_new,
-            do_grow.astype(jnp.int32),
+            resid, leaf_idx, rank_v.astype(jnp.int32), eta, lft, rgt,
+            c_new, do_grow.astype(jnp.int32),
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -409,7 +431,8 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         feature_j, cut_j, leaf_value_j, leaf_idx_j = inputs
         rng, rng_move, rng_mu = jax.random.split(rng, 3)
 
-        fit_j = leaf_value_j[leaf_idx_j]
+        onehot = node_onehot(leaf_idx_j, M, dtype)
+        fit_j = table_lookup(onehot, leaf_value_j)
         resid = y_target - allfit + fit_j
         # weighted sufficient statistics: (sum w, sum w r) with w = 1 o.w.
         wresid = resid if w is None else w * resid
@@ -421,15 +444,16 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         )
 
         # conjugate leaf-mean draws for all leaves of this tree
+        onehot_new = node_onehot(leaf_idx_j, M, dtype)
         counts, sums = leaf_stats(leaf_idx_j, wresid, M,
-                                  count_weights=w)
+                                  count_weights=w, onehot=onehot_new)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         noise = jax.random.normal(rng_mu, (M,), dtype)
         mu = post_mean + jnp.sqrt(post_var) * noise
         leaf_value_j = jnp.where(feature_j == LEAF, mu, 0.0)
 
-        new_fit_j = leaf_value_j[leaf_idx_j]
+        new_fit_j = table_lookup(onehot_new, leaf_value_j)
         allfit = allfit + new_fit_j - fit_j
         return (allfit, rng), (feature_j, cut_j, leaf_value_j, leaf_idx_j)
 
