@@ -25,7 +25,7 @@ N = 10_000
 # 221 draws/s, 64 chains 377 on one v5e chip); 64 is the committed headline
 # config, override with BENCH_CHAINS
 CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
-WARMUP = 200         # enough for windowed metric adaptation to engage
+WARMUP = int(os.environ.get("BENCH_WARMUP", "200"))
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
 NUM_TREES = 75

@@ -241,15 +241,28 @@ def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None, onehot=None):
 
 
 def walk_tree(feature, cut, ranks, max_depth):
-    """Recompute leaf membership for one tree: (N,) node indices."""
-    N = ranks.shape[0]
+    """Recompute leaf membership for one tree: (N,) node indices.
+
+    All table lookups are one-hot matmuls (fancy-index gathers serialize on
+    TPU — see node_onehot); this runs per draw for test-set predictions, so
+    it is hot in causal fits."""
+    N, P = ranks.shape
+    M = feature.shape[0]
+    dtype = jnp.float32
     node = jnp.zeros(N, dtype=jnp.int32)
+    ranks_f = ranks.astype(dtype)
+    feat_f = feature.astype(dtype)
+    cut_f = cut.astype(dtype)
     for _ in range(max_depth):
-        f = feature[node]
+        onehot = node_onehot(node, M, dtype)
+        f = table_lookup(onehot, feat_f)
         is_internal = f >= 0
-        v = jnp.maximum(f, 0)
-        c = cut[node]
-        rank_v = jnp.take_along_axis(ranks, v[:, None], axis=1)[:, 0]
+        v = jnp.maximum(f, 0.0).astype(jnp.int32)
+        c = table_lookup(onehot, cut_f)
+        onehot_v = (
+            v[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+        ).astype(dtype)
+        rank_v = jnp.sum(ranks_f * onehot_v, axis=1)
         go_left = rank_v <= c
         child = 2 * node + jnp.where(go_left, 1, 2)
         node = jnp.where(is_internal, child, node)
@@ -524,7 +537,8 @@ def predict_trees(cfg: BartConfig, feature, cut, leaf_value, ranks_new):
     def one_tree(tree):
         f, c, lv = tree
         node = walk_tree(f, c, ranks_new, cfg.max_depth)
-        return lv[node]
+        onehot = node_onehot(node, cfg.max_nodes, lv.dtype)
+        return table_lookup(onehot, lv)
 
     fits = jax.vmap(one_tree)((feature, cut, leaf_value))
     return jnp.sum(fits, axis=0)
