@@ -80,12 +80,14 @@ def main():
         state, _ = jax.lax.scan(body, state, jnp.arange(CHUNK))
         return state
 
+    sigma_row = prog.stan_names().index("aux.1")
+
     def sample(state):
         def body(state, it):
             state, draw = prog.step(state, it, False)
-            # lp, stepsize, treedepth, n_leapfrog (telemetry -> stderr)
+            # lp, stepsize, treedepth, n_leapfrog, sigma (telemetry)
             return state, (draw.stan[0], draw.stan[2], draw.stan[3],
-                           draw.stan[4])
+                           draw.stan[4], draw.stan[sigma_row])
 
         return jax.lax.scan(body, state, jnp.arange(CHUNK))
 
@@ -112,18 +114,30 @@ def main():
     states, _ = with_retry(sample_fn, states, label="sample-compile")
 
     t0 = time.perf_counter()
-    last = None
+    pieces = []
     for _ in range(N_CHUNKS):
-        states, last = jax.block_until_ready(sample_fn(states))
+        states, out = jax.block_until_ready(sample_fn(states))
+        pieces.append(out)
     elapsed = time.perf_counter() - t0
+    last = pieces[-1]
 
     draws_per_s = CHAINS * CHUNK * N_CHUNKS / elapsed
     lp = np.asarray(last[0])
     assert np.all(np.isfinite(lp)), "non-finite lp in bench draws"
+
+    # min-ESS/s telemetry (BASELINE.json metric) on sigma and lp draws
+    from stan4bart_tpu.parallel.diagnostics import ess
+
+    sig = np.concatenate([np.asarray(p[4]) for p in pieces], axis=1)
+    lps = np.concatenate([np.asarray(p[0]) for p in pieces], axis=1)
+    ess_sigma = float(ess(sig))
+    ess_lp = float(ess(lps))
     print(
         f"# sampling stepsize={np.asarray(last[1]).mean():.2e} "
         f"treedepth={np.asarray(last[2]).mean():.2f} "
-        f"n_leapfrog={np.asarray(last[3]).mean():.0f}",
+        f"n_leapfrog={np.asarray(last[3]).mean():.0f} "
+        f"ESS(sigma)/s={ess_sigma / elapsed:.2f} "
+        f"ESS(lp)/s={ess_lp / elapsed:.2f}",
         file=sys.stderr,
     )
 
