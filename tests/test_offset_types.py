@@ -1,0 +1,67 @@
+"""The remaining offset_type substitution semantics — fixef / ranef /
+bart / default with a user offset (init.cpp:762-795, 831-839;
+man/stan4bart.Rd:91-97)."""
+
+import numpy as np
+import pytest
+
+import stan4bart_tpu as s4b
+from stan4bart_tpu.utils.friedman import friedman_dataframe, generate_friedman_data
+
+
+@pytest.fixture(scope="module")
+def setup():
+    d = generate_friedman_data(200, ranef=True)
+    return d, friedman_dataframe(d)
+
+
+def _fit(df, offset, offset_type,
+         formula="y ~ bart(X1+X2+X3+X5) + X4 + (1 + X4 | g.1) + (1 | g.2)"):
+    return s4b.stan4bart(
+        formula, df, offset=offset, offset_type=offset_type,
+        chains=1, warmup=100, iter=250, seed=13, verbose=-1,
+        bart_args={"n.trees": 25},
+    )
+
+
+def test_offset_default_adds(setup):
+    """default: user offset ADDS to the full model mean."""
+    d, df = setup
+    shift = np.full(200, 3.0)
+    fit = _fit(df, shift, "default")
+    # ev includes the offset; the residual around ev should be ~sigma-ish
+    resid_sd = np.std(np.asarray(df["y"]) - fit.fitted("ev"))
+    assert resid_sd < 2.5
+
+
+def test_offset_fixef_replaces(setup):
+    """fixef: the user offset REPLACES the fixed-effect component in the
+    exchange; BART+ranef still fit around it."""
+    d, df = setup
+    fit = _fit(df, d["mu_fixef"], "fixef")
+    bart = fit.fitted("indiv.bart")
+    cor = np.corrcoef(bart - bart.mean(),
+                      d["mu_bart"] - d["mu_bart"].mean())[0, 1]
+    # component injection is a debugging facility, not an estimator mode;
+    # at these sizes the ranef draws it conditions on stay noisy
+    assert cor > 0.75
+
+
+def test_offset_ranef_replaces(setup):
+    """ranef: user offset replaces the random-effect component."""
+    d, df = setup
+    fit = _fit(df, d["mu_ranef"], "ranef")
+    bart = fit.fitted("indiv.bart")
+    cor = np.corrcoef(bart - bart.mean(),
+                      d["mu_bart"] - d["mu_bart"].mean())[0, 1]
+    assert cor > 0.9
+
+
+def test_offset_bart_replaces(setup):
+    """bart: the user offset replaces the BART fit in Stan's conditioning;
+    the parametric block then sees the TRUE bart component and its
+    estimates sharpen."""
+    d, df = setup
+    fit = _fit(df, d["mu_bart"], "bart")
+    fx = fit.extract("fixef").mean(-1)
+    assert abs(fx[0] - 10.0) < 3.0  # X4 slope (plus group-slope noise)
