@@ -515,19 +515,29 @@ def count_variable_use(cfg: BartConfig, feature, n_vars):
 
 def sample_probit_latents(allfit_plus_offset, y, rng, dtype):
     """z_i ~ TruncNormal(mean_i, 1) on the side implied by y_i (dbarts
-    probit latent flow; init.cpp:289, 843-847)."""
-    u = jax.random.uniform(rng, allfit_plus_offset.shape, dtype=dtype,
-                           minval=1e-12, maxval=1.0 - 1e-12)
-    mean = allfit_plus_offset
-    from jax.scipy.stats import norm as jnorm
-    from jax.scipy.special import ndtri
+    probit latent flow; init.cpp:289, 843-847).
 
-    # P(z <= 0 | mean) = Phi(-mean)
-    p0 = jnorm.cdf(-mean)
-    # y=1: u' in (p0, 1); y=0: u' in (0, p0)
-    u_scaled = jnp.where(y > 0, p0 + u * (1.0 - p0), u * p0)
-    u_scaled = jnp.clip(u_scaled, 1e-12, 1.0 - 1e-12)
-    return mean + ndtri(u_scaled)
+    Small-tail inverse-CDF form: sampling u' in (p0, 1) overflows to
+    exactly 1.0 in f32 whenever the constraint probability is tiny
+    (ndtri(1) = inf -> NaN cascade, observed at n=10k on TPU).  Instead
+    draw within the allowed tail measured from ITS OWN side —
+    v = u * P(allowed side) stays far from 1 and ndtri is accurate near 0:
+
+        y=1:  z = mean - ndtri(u * Phi(mean))   (> 0 by construction)
+        y=0:  z = mean + ndtri(u * Phi(-mean))  (<= 0 by construction)
+    """
+    from jax.scipy.special import ndtri
+    from jax.scipy.stats import norm as jnorm
+
+    mean = allfit_plus_offset
+    u = jax.random.uniform(rng, mean.shape, dtype=dtype,
+                           minval=1e-7, maxval=1.0 - 1e-7)
+    side_prob = jnp.where(y > 0, jnorm.cdf(mean), jnorm.cdf(-mean))
+    v = jnp.clip(u * side_prob, 1e-30, 1.0 - 1e-7)
+    q = ndtri(v)
+    z = jnp.where(y > 0, mean - q, mean + q)
+    # guard the extreme-underflow corner (|mean| > ~11 in f32)
+    return jnp.clip(z, -30.0, 30.0)
 
 
 def predict_trees(cfg: BartConfig, feature, cut, leaf_value, ranks_new):
