@@ -310,6 +310,19 @@ def stan4bart(
             keys, chunk_size, bart_offset_init=boi, sigma_init=sigma_init,
             keep_warmup=True, callback=cb, verbose=verbose,
         )
+    elif cores is not None and cores > 1 and len(jax.devices()) > 1:
+        # the reference's chain-over-cores parallelism mapped to a device
+        # mesh (stan4bart_fit.R:495-558 -> parallel.mesh)
+        from stan4bart_tpu.parallel.mesh import chain_mesh, run_chains_sharded
+
+        n_dev = min(int(cores), len(jax.devices()), chains)
+        while chains % n_dev != 0:  # mesh size must divide the chain count
+            n_dev -= 1
+        final_states, draws = run_chains_sharded(
+            prog, keys, mesh=chain_mesh(n_dev),
+            bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True, callback=cb,
+        )
     else:
         def run_one(key):
             return prog.run_chain(

@@ -1,0 +1,46 @@
+"""cores -> device-mesh chain sharding (test-05-rng.R:46-62 semantics:
+multi-core runs are reproducible but a different stream is acceptable) and
+skip thinning (stan4bart_fit.R:393-403)."""
+
+import numpy as np
+
+import stan4bart_tpu as s4b
+from stan4bart_tpu.utils.friedman import friedman_dataframe, generate_friedman_data
+
+
+def _df(n=100):
+    return friedman_dataframe(generate_friedman_data(n, ranef=True))
+
+
+def test_cores_shards_chains():
+    df = _df()
+    kw = dict(chains=4, warmup=20, iter=60, seed=7, verbose=-1,
+              bart_args={"n.trees": 5})
+    f1 = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, cores=4, **kw)
+    assert f1.draws.stan.shape[0] == 4
+    assert np.all(np.isfinite(f1.extract("ev")))
+    # reproducible under the same core count
+    f2 = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, cores=4, **kw)
+    np.testing.assert_array_equal(f1.draws.stan, f2.draws.stan)
+
+
+def test_skip_thinning_runs():
+    df = _df()
+    fit = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=1, warmup=15, iter=40, seed=3, verbose=-1,
+        skip={"bart": 2, "stan": 3}, bart_args={"n.trees": 5},
+    )
+    assert fit.prog.skip_bart == 2 and fit.prog.skip_stan == 3
+    # stored draws = iter regardless of thinning (the reference keeps one
+    # draw per coordinator iteration)
+    assert fit.draws.stan.shape[1] == 40
+    assert np.all(np.isfinite(fit.extract("ev")))
+
+
+def test_skip_tuple():
+    df = _df()
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4", df, chains=1, warmup=10,
+                        iter=30, seed=2, verbose=-1, skip=(2, 2),
+                        bart_args={"n.trees": 4})
+    assert fit.prog.skip_bart == 2 and fit.prog.skip_stan == 2
