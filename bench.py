@@ -130,8 +130,9 @@ def main():
 
     sig = np.concatenate([np.asarray(p[4]) for p in pieces], axis=1)
     lps = np.concatenate([np.asarray(p[0]) for p in pieces], axis=1)
-    ess_sigma = float(ess(sig))
-    ess_lp = float(ess(lps))
+    ess_jit = jax.jit(ess)  # eager ops dispatch per-op through the tunnel
+    ess_sigma = float(ess_jit(sig.astype(np.float32)))
+    ess_lp = float(ess_jit(lps.astype(np.float32)))
     print(
         f"# sampling stepsize={np.asarray(last[1]).mean():.2e} "
         f"treedepth={np.asarray(last[2]).mean():.2f} "
