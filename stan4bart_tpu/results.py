@@ -573,6 +573,12 @@ class Stan4bartFit:
         arr = np.moveaxis(stan[..., keep], 0, 1)  # (iter, chains, params)
         return arr, self.parameter_names()
 
+    def as_matrix(self, include_warmup: bool = False):
+        """(iterations * chains, params) with pretty names — the
+        reference's as.matrix.stan4bartFit (chains flattened)."""
+        arr, names = self.as_array(include_warmup)
+        return arr.reshape(-1, arr.shape[-1]), names
+
     # -- checkpoint / resume ---------------------------------------------------
 
     def save(self, path: str):
