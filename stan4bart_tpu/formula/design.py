@@ -70,6 +70,10 @@ class ReTermData:
     levels: list               # group level labels
     lhs: np.ndarray            # (N, p) float
     group_idx: np.ndarray      # (N,) int32; -1 marks an unseen (new) level
+    # per-row id of the distinct NEW level for unseen rows (-1 elsewhere):
+    # the reference's levelfun draws ONE b per new level shared across that
+    # level's rows within a draw (generics.R:553-612), not one per row
+    new_level_ids: np.ndarray | None = None
     p: int = 0
     l: int = 0
 
@@ -260,7 +264,7 @@ def _group_index(group_expr: str, cols, levels: list | None):
     if levels is None:
         levels = sorted(set(combined.tolist()))
     idx = _level_index(combined, levels).astype(np.int32)
-    return idx, levels
+    return idx, levels, combined
 
 
 def _na_rows(arrs: list[np.ndarray]) -> np.ndarray:
@@ -319,7 +323,7 @@ def build_model_frame(
             if lhs_mats
             else np.ones((n_original, 1))
         )
-        gidx, glevels = _group_index(rt.group, cols, None)
+        gidx, glevels, _ = _group_index(rt.group, cols, None)
         # dimension sanity checks (lme4_functions.R:768-864 checkNlevels)
         if len(glevels) < 2:
             raise ValueError(
@@ -426,11 +430,18 @@ def _build_test_frame(mf: ModelFrame, newdata) -> TestFrame:
             if lhs_mats
             else np.ones((n_new, 1))
         )
-        gidx, _ = _group_index(rt_parsed.group, cols, rt_data.levels)
+        gidx, _, combined = _group_index(rt_parsed.group, cols,
+                                         rt_data.levels)
+        new_ids = np.full(n_new, -1, dtype=np.int64)
+        unseen = gidx < 0
+        if unseen.any():
+            _, inv = np.unique(combined[unseen], return_inverse=True)
+            new_ids[unseen] = inv
         re_terms.append(
             ReTermData(group_name=rt_data.group_name,
                        coef_names=rt_data.coef_names,
-                       levels=rt_data.levels, lhs=lhs, group_idx=gidx)
+                       levels=rt_data.levels, lhs=lhs, group_idx=gidx,
+                       new_level_ids=new_ids)
         )
 
     off = None
@@ -447,7 +458,8 @@ def _build_test_frame(mf: ModelFrame, newdata) -> TestFrame:
         re_terms = [
             ReTermData(group_name=t.group_name, coef_names=t.coef_names,
                        levels=t.levels, lhs=t.lhs[keep_rows],
-                       group_idx=t.group_idx[keep_rows])
+                       group_idx=t.group_idx[keep_rows],
+                       new_level_ids=t.new_level_ids[keep_rows])
             for t in re_terms
         ]
         if off is not None:

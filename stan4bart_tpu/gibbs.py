@@ -237,7 +237,7 @@ class GibbsProgram:
         from the parametric pre-fit, one BART sweep to initialize the Stan
         offset, probit latents seeded from that sweep."""
         pm, cfg = self.pm, self.bart_cfg
-        rng, rng_q, rng_b, rng_l = jax.random.split(rng, 4)
+        rng, rng_q, rng_b, rng_l, rng_b2 = jax.random.split(rng, 5)
 
         q0 = jax.random.uniform(
             rng_q, (pm.num_upars,), dtype=self.dtype,
@@ -270,7 +270,7 @@ class GibbsProgram:
 
         bart_state, _ = bart_ops.bart_sweep(
             cfg, bart_state, y_target, self.ranks, self.split_probs,
-            sigma, rng_b, weights=self.weights,
+            sigma, rng_b2, weights=self.weights,
         )
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 

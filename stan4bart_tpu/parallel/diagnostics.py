@@ -65,7 +65,9 @@ def ess(draws):
     acov = _autocovariance(x)                          # (C, n)
     chain_mean = jnp.mean(x, axis=1)
     mean_var = jnp.mean(acov[:, 0]) * n / (n - 1.0)    # mean within-chain var
-    var_plus = mean_var
+    # Stan uses var_plus = mean_var*(n-1)/n + between-chain variance
+    # (compute_effective_sample_size.hpp) — i.e. the biased within estimate
+    var_plus = mean_var * (n - 1.0) / n
     if C > 1:
         var_plus = var_plus + jnp.var(chain_mean, ddof=1)
 

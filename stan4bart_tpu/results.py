@@ -52,22 +52,32 @@ class Stan4bartFit:
     sigma_init: float = 1.0
     seed: int = 0
     callback_draws: Any = None
+    # True once the stored stan draws hold un-rotated betas.  An init field
+    # (not init=False) so dataclasses.replace() carries it over and
+    # __post_init__ cannot re-apply R_inv to already-un-rotated draws
+    # (that double application silently corrupted resumed qr=True fits).
+    qr_unrotated: bool = False
     _name_idx: dict = field(default_factory=dict, init=False)
 
     def __post_init__(self):
         self._name_idx = {n: i for i, n in enumerate(self.stan_names)}
-        # QR un-rotation of beta draws (stan4bart_fit.R:560-570)
-        if self.R_inv is not None and self.keep_fits:
-            K = self.mf.K
-            bi = [self._name_idx[f"beta.{j + 1}"] for j in range(K)]
-            beta = self.draws.stan[..., bi]
+        # QR un-rotation of beta draws (stan4bart_fit.R:560-570), once
+        if (self.R_inv is not None and self.keep_fits
+                and not self.qr_unrotated):
             self.draws = self.draws._replace(
-                stan=self.draws.stan.at[..., bi].set(
-                    beta @ np.asarray(self.R_inv).T
-                ) if hasattr(self.draws.stan, "at")
-                else self._np_set(self.draws.stan, bi,
-                                  beta @ np.asarray(self.R_inv).T)
+                stan=self._unrotate_stan(self.draws.stan)
             )
+            self.qr_unrotated = True
+
+    def _unrotate_stan(self, stan):
+        """beta columns of a raw stan draw array -> original coordinates
+        (beta_orig = R_inv^T beta_qr; stan4bart_fit.R:560-570)."""
+        K = self.mf.K
+        bi = [self._name_idx[f"beta.{j + 1}"] for j in range(K)]
+        beta = stan[..., bi] @ np.asarray(self.R_inv).T
+        if hasattr(stan, "at"):
+            return stan.at[..., bi].set(beta)
+        return self._np_set(stan, bi, beta)
 
     @staticmethod
     def _np_set(arr, idx, vals):
@@ -210,9 +220,18 @@ class Stan4bartFit:
                     chol = np.linalg.cholesky(
                         Sig + 1e-12 * np.eye(p)
                     )
-                    # one new-level draw per (chain, iter, distinct new row)
-                    z = rng.standard_normal((C, I, (~seen).sum(), p))
-                    b_new = np.einsum("cipq,cinq->cinp", chol, z)
+                    # one b draw per (chain, iter, distinct NEW LEVEL),
+                    # shared across that level's rows (levelfun semantics,
+                    # generics.R:553-612) — preserves within-draw
+                    # correlation of observations in the same new group
+                    if t.new_level_ids is not None:
+                        lev_of_row = t.new_level_ids[~seen]
+                    else:
+                        lev_of_row = np.arange((~seen).sum())
+                    n_lev = int(lev_of_row.max()) + 1
+                    z = rng.standard_normal((C, I, n_lev, p))
+                    b_lev = np.einsum("cipq,cilq->cilp", chol, z)
+                    b_new = b_lev[:, :, lev_of_row, :]
                     contrib_new = np.einsum(
                         "np,cinp->cin", t.lhs[~seen], b_new
                     )
@@ -619,6 +638,12 @@ class Stan4bartFit:
 
         states, new_draws = jax.jit(jax.vmap(more))(self.final_states)
         new_draws = jax.tree_util.tree_map(np.asarray, new_draws)
+        if self.qr_unrotated:
+            # stored draws are already in original coordinates; bring the
+            # fresh draws to match before merging (never re-rotate stored)
+            new_draws = new_draws._replace(
+                stan=self._unrotate_stan(new_draws.stan)
+            )
         merged = jax.tree_util.tree_map(
             lambda a, b: np.concatenate([np.asarray(a), b], axis=1),
             self.draws, new_draws,

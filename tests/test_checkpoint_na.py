@@ -36,6 +36,43 @@ def test_continue_sampling():
     assert np.all(np.isfinite(ev))
 
 
+def test_continue_sampling_qr_preserves_old_draws():
+    """Regression: dataclasses.replace() re-ran __post_init__ and re-applied
+    the QR un-rotation, corrupting stored beta draws on resume."""
+    df = friedman_dataframe(generate_friedman_data(80, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + X3 + (1 | g.2)", df, chains=2,
+                        warmup=20, iter=50, seed=0, verbose=-1,
+                        stan_args={"qr": True}, bart_args={"n.trees": 5})
+    old_fixef = fit.extract("fixef")
+    fit2 = fit.continue_sampling(30)
+    np.testing.assert_allclose(
+        fit2.extract("fixef")[..., : old_fixef.shape[-1]], old_fixef
+    )
+    # resumed draws live in the same (un-rotated) coordinates as the old
+    new_fixef = fit2.extract("fixef")[..., old_fixef.shape[-1]:]
+    assert np.all(np.isfinite(new_fixef))
+    assert abs(np.mean(new_fixef) - np.mean(old_fixef)) < 5 * np.std(old_fixef)
+
+
+def test_new_level_draws_shared_within_level():
+    """Reference levelfun semantics: rows of the SAME new group level share
+    one b draw per iteration (within-draw correlation preserved)."""
+    df = friedman_dataframe(generate_friedman_data(80, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, chains=1,
+                        warmup=15, iter=40, seed=0, verbose=-1,
+                        bart_args={"n.trees": 4})
+    new = {c: np.asarray(df[c])[:6].copy() for c in df}
+    new["g.2"] = np.array(["newA", "newA", "newA", "newB", "newB", "newB"],
+                          dtype=object)
+    tf = fit.mf.build_test_frame(new)
+    ran = fit._indiv_ranef(False, sample_new_levels=True, frame=tf)
+    # intercept-only term: rows in the same new level get identical draws
+    np.testing.assert_allclose(ran[..., 0], ran[..., 1])
+    np.testing.assert_allclose(ran[..., 3], ran[..., 4])
+    # ... and different levels get different draws
+    assert np.max(np.abs(ran[..., 0] - ran[..., 3])) > 1e-8
+
+
 def test_na_exclude_reinserts():
     d = generate_friedman_data(90)
     df = friedman_dataframe(d)
