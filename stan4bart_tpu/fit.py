@@ -173,7 +173,7 @@ def stan4bart(
     family: str | None = None,
     iter: int = 2000,
     warmup: int | None = None,
-    skip=1,
+    skip=None,
     chains: int = 4,
     cores: int | None = None,
     verbose: int = 0,
@@ -209,7 +209,12 @@ def stan4bart(
     iterations = iter - warmup
     if iterations < 0:
         raise ValueError("'warmup' cannot exceed 'iter'")
-    if isinstance(skip, dict):
+    if skip is None:
+        # the reference's derived default for the Stan thinning when unset:
+        # skip = max(1, (2000 - warmup) / 1000) (init.cpp:206-209)
+        skip_bart = 1
+        skip_stan = max(1, (2000 - warmup) // 1000)
+    elif isinstance(skip, dict):
         skip_bart = int(skip.get("bart", 1))
         skip_stan = int(skip.get("stan", 1))
     elif isinstance(skip, (tuple, list)):
@@ -266,6 +271,7 @@ def stan4bart(
         gamma=resolved_stan_args.adapt_gamma,
         kappa=resolved_stan_args.adapt_kappa,
         t0=resolved_stan_args.adapt_t0,
+        stepsize_jitter=resolved_stan_args.stepsize_jitter,
     )
 
     bart_offset_init, sigma_init = _init_parametric_fit(mf, family)
@@ -281,6 +287,10 @@ def stan4bart(
         skip_stan=skip_stan, skip_bart=skip_bart,
         nuts_cfg=nuts_cfg,
         init_r=resolved_stan_args.init_r,
+        adapt_init_buffer=resolved_stan_args.adapt_init_buffer,
+        adapt_term_buffer=resolved_stan_args.adapt_term_buffer,
+        adapt_base_window=resolved_stan_args.adapt_base_window,
+        stepsize_init=resolved_stan_args.stepsize,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         dtype=dtype,
@@ -291,6 +301,8 @@ def stan4bart(
                                chains, skip_bart, skip_stan,
                                resolved_stan_args, sigma_init)
 
+    if seed is None and resolved_stan_args.seed is not None:
+        seed = resolved_stan_args.seed
     if seed is None:
         seed = np.random.SeedSequence().entropy % (2**31)
     keys = jax.random.split(jax.random.PRNGKey(int(seed)), chains)

@@ -110,6 +110,12 @@ class GibbsProgram:
         skip_bart: int = 1,
         nuts_cfg: NutsConfig = NutsConfig(),
         init_r: float = 2.0,
+        # Stan windowed-adaptation buffers + starting stepsize
+        # (stan_sampler.cpp:427-455 defaults 75/50/25, stepsize=1)
+        adapt_init_buffer: int = 75,
+        adapt_term_buffer: int = 50,
+        adapt_base_window: int = 25,
+        stepsize_init: float = 1.0,
         keep_trees: bool = False,
         # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
         # estimates (fixef, SATE) and the BART fit track NUTS closely but
@@ -173,9 +179,16 @@ class GibbsProgram:
         )
         self.offset_type = OFFSET_TYPES.index(offset_type)
 
+        self.stepsize_init = float(stepsize_init)
+
         # NUTS windowed-adaptation schedule over warmup * skip_stan
         # transitions (interruptable_sampler.hpp:171)
-        sched = make_adapt_schedule(self.warmup * self.skip_stan)
+        sched = make_adapt_schedule(
+            self.warmup * self.skip_stan,
+            init_buffer=int(adapt_init_buffer),
+            term_buffer=int(adapt_term_buffer),
+            base_window=int(adapt_base_window),
+        )
         self.sched_adapt = jnp.asarray(sched["adapt_stepsize"])
         self.sched_collect = jnp.asarray(sched["collect"])
         self.sched_window_end = jnp.asarray(sched["window_end"])
@@ -274,7 +287,7 @@ class GibbsProgram:
         )
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 
-        nuts = nuts_init(None, q0, stepsize=1.0)
+        nuts = nuts_init(None, q0, stepsize=self.stepsize_init)
         scale_y = (1.0 if self.is_binary
                    else float(np.std(np.asarray(self.y), ddof=1)))
         nuts = nuts._replace(inv_mass=jnp.asarray(
@@ -283,7 +296,7 @@ class GibbsProgram:
         # stepsize search against the initial conditional posterior
         y_stan = latents if self.is_binary else self.y
         logp = lambda u: pm.log_prob(u, stan_offset, y_stan)  # noqa: E731
-        eps = init_stepsize(logp, q0, nuts.inv_mass, 1.0,
+        eps = init_stepsize(logp, q0, nuts.inv_mass, self.stepsize_init,
                             jax.random.fold_in(rng, 3))
         nuts = nuts._replace(da=nuts.da._replace(
             log_eps=jnp.log(eps), mu=jnp.log(10.0 * eps)))

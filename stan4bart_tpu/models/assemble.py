@@ -46,6 +46,9 @@ class StanArgs:
     adapt_base_window: int = 25
     max_treedepth: int = 10
     stepsize: float = 1.0
+    stepsize_jitter: float = 0.0
+    seed: int | None = None
+    keep_trees: bool = False
 
 
 def _sd(x):
@@ -64,6 +67,21 @@ def build_parametric_model(
     elif isinstance(stan_args, dict):
         known = {k: v for k, v in stan_args.items()
                  if k in StanArgs.__dataclass_fields__}
+        unknown = sorted(set(stan_args) - set(known))
+        if unknown:
+            # the reference validates every control name and warns on
+            # unrecognized ones (stan_sampler.cpp:112-139; it warns
+            # specifically on prior_intercept, stan4bart_fit.R:108-109)
+            import warnings
+
+            if "prior_intercept" in unknown:
+                warnings.warn(
+                    "the intercept is part of the BART component, so "
+                    "'prior_intercept' is ignored (stan4bart_fit.R:108-109)"
+                )
+                unknown.remove("prior_intercept")
+            if unknown:
+                warnings.warn(f"ignoring unsupported stan_args: {unknown}")
         stan_args = StanArgs(**known)
 
     is_binary = family == "binomial"

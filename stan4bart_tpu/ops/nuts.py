@@ -37,6 +37,9 @@ class NutsConfig(NamedTuple):
     kappa: float = 0.75      # adapt_kappa
     t0: float = 10.0         # adapt_t0
     max_delta_h: float = 1000.0
+    # uniform stepsize jitter factor per transition in (1 +/- jitter)
+    # (stan_sampler.cpp:452-455 stepsize_jitter; Stan base_hmc::sample_stepsize)
+    stepsize_jitter: float = 0.0
     # skip Stan's init_stepsize re-search at metric-window boundaries and
     # anchor the dual-averaging restart at the current running stepsize —
     # against the Gibbs-moving conditional the one-leapfrog re-search can
@@ -255,6 +258,11 @@ def nuts_transition(
         adapt_stepsize | (state.da.count > 0),
         stepsize, jnp.exp(state.da.log_eps),
     )
+    if cfg.stepsize_jitter:  # static; zero (the default) compiles away
+        u_jit = jax.random.uniform(jax.random.fold_in(rng_traj, 2), (), dtype)
+        stepsize = stepsize * (
+            1.0 + cfg.stepsize_jitter * (2.0 * u_jit - 1.0)
+        )
 
     logp0, grad0 = jax.value_and_grad(logdensity_fn)(state.q)
     p0 = jax.random.normal(rng_mom, (P,), dtype) / jnp.sqrt(inv_mass)
