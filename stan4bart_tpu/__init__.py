@@ -19,13 +19,16 @@ Reference parity map: see SURVEY.md at the repo root.
 from stan4bart_tpu.fit import chi, stan4bart  # noqa: F401
 from stan4bart_tpu.models import priors  # noqa: F401
 from stan4bart_tpu.models.priors import (  # noqa: F401
+    R2,
     cauchy,
     decov,
+    dirichlet,
     exponential,
     hs,
     hs_plus,
     laplace,
     lasso,
+    lkj,
     normal,
     product_normal,
     student_t,

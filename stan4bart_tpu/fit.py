@@ -164,6 +164,29 @@ def chi(df=1.25, scale=float("inf")):
     return {"dist": "chi", "df": df, "scale": scale}
 
 
+class CallbackDraw:
+    """Named per-iteration view handed to user callbacks — parity with the
+    reference's (yhat.train, yhat.test, stan named vector) environment
+    (init.cpp:849-911; test-11-callback.R).
+
+    Attributes: ``yhat_train`` (n,), ``yhat_test`` (n_test,) or None,
+    ``stan_pars`` (full diagnostic+constrained row), ``names``; index by
+    parameter name: ``draw["beta.1"]``.  ``raw`` is the underlying
+    GibbsDraw.  All values are traced arrays (the callback runs inside the
+    compiled scan)."""
+
+    def __init__(self, draw, names, name_idx, has_test):
+        self.raw = draw
+        self.yhat_train = draw.bart_train
+        self.yhat_test = draw.bart_test if has_test else None
+        self.stan_pars = draw.stan
+        self.names = names
+        self._idx = name_idx
+
+    def __getitem__(self, name):
+        return self.raw.stan[self._idx[name]]
+
+
 def stan4bart(
     formula: str,
     data,
@@ -308,15 +331,43 @@ def stan4bart(
     keys = jax.random.split(jax.random.PRNGKey(int(seed)), chains)
     boi = jnp.asarray(bart_offset_init, dtype=dtype)
 
-    # callback semantics (init.cpp:849-911; test-11-callback.R): results are
-    # stored alongside raw draws; with keep_fits=False ONLY the callback
-    # results are stored
-    if callback is not None and keep_fits:
-        cb = lambda d: {"draw": d, "callback": callback(d)}  # noqa: E731
-    else:
-        cb = callback if not keep_fits else None
+    # callback semantics (init.cpp:849-911; test-11-callback.R): the user
+    # callback gets a NAMED view (yhat_train/yhat_test/stan by name); its
+    # results are stored alongside raw draws, and with keep_fits=False ONLY
+    # the callback results are stored.  keep_fits=False with no callback
+    # stores nothing at all (the reference allocates no sample storage,
+    # init.cpp:691-720) — only the final sampler states survive.
+    stan_names_list = prog.stan_names()
+    stan_name_idx = {n: i for i, n in enumerate(stan_names_list)}
+    has_test = test_frame is not None
 
-    if chunk_size is not None:
+    def named(d):
+        return CallbackDraw(d, stan_names_list, stan_name_idx, has_test)
+
+    if callback is not None and keep_fits:
+        cb = lambda d: {"draw": d, "callback": callback(named(d))}  # noqa: E731
+    elif callback is not None:
+        cb = lambda d: callback(named(d))  # noqa: E731
+    elif not keep_fits:
+        cb = lambda d: jnp.zeros((), dtype)  # noqa: E731 — store nothing
+    else:
+        cb = None
+
+    import time as _time
+
+    t_start = _time.perf_counter()
+    if jax.process_count() > 1:
+        # multi-host SPMD: every process runs this same program; chains
+        # shard over the global mesh (DCN across hosts), draws all-gather
+        # back to every host (parallel.multihost; replaces the reference's
+        # PSOCK cluster, stan4bart_fit.R:495-558)
+        from stan4bart_tpu.parallel.multihost import run_chains_multihost
+
+        final_states, draws = run_chains_multihost(
+            prog, np.asarray(keys), bart_offset_init=boi,
+            sigma_init=sigma_init, keep_warmup=True, callback=cb,
+        )
+    elif chunk_size is not None:
         # host-chunked execution: progress reporting + time-capped devices
         final_states, draws = prog.run_chains_chunked(
             keys, chunk_size, bart_offset_init=boi, sigma_init=sigma_init,
@@ -345,10 +396,13 @@ def stan4bart(
         run_all = jax.jit(jax.vmap(run_one))
         final_states, draws = run_all(keys)
     draws = jax.tree_util.tree_map(np.asarray, draws)
+    total_time = _time.perf_counter() - t_start
     callback_draws = None
     if callback is not None and keep_fits:
         callback_draws = draws["callback"]
         draws = draws["draw"]
+    elif callback is None and not keep_fits:
+        draws = None  # nothing was stored (reference init.cpp:691-720)
 
     fit = Stan4bartFit(
         mf=mf, pm=pm, prog=prog, family=family,
@@ -361,7 +415,17 @@ def stan4bart(
         sigma_init=sigma_init,
         seed=int(seed),
         callback_draws=callback_draws,
+        prior_info=assemble_info.get("prior_summary"),
+        timings=dict(
+            total=total_time,
+            # phase split pro-rated by iteration counts (single fused scan;
+            # chunked mode measures the phases separately)
+            warmup=total_time * warmup / max(iter, 1),
+            sample=total_time * iterations / max(iter, 1),
+        ),
     )
+    if verbose >= 1:
+        fit.prior_summary()
     if verbose >= 0:
         fit.check_sampler_diagnostics()
     return fit

@@ -267,6 +267,61 @@ def _group_index(group_expr: str, cols, levels: list | None):
     return idx, levels, combined
 
 
+def _drop_rank_deficient(X: np.ndarray, names: list[str], tol: float = 1e-7):
+    """Pivoted-QR column dropping for rank-deficient fixed designs
+    (chkRank.drop.cols 'warn+drop.cols', lme4_functions.R:909-952).
+    Returns (X_kept, names_kept, dropped_names); dropped names are recorded
+    so test frames re-drop the same columns."""
+    p = X.shape[1]
+    scale = np.linalg.norm(X, axis=0)
+    scale[scale == 0] = 1.0
+    Xn = X / scale  # scale-invariant, like R's relative qr tolerance
+    keep, dropped = [], []
+    Q = np.zeros((X.shape[0], 0))
+    # greedy in-order selection keeps the LEFTMOST of each collinear set
+    # (matching R's LINPACK qr preference for original column order)
+    for j in range(p):
+        v = Xn[:, j].copy()
+        if Q.shape[1]:
+            v -= Q @ (Q.T @ v)
+            v -= Q @ (Q.T @ v)  # second pass for numerical orthogonality
+        nv = np.linalg.norm(v)
+        if nv > tol:
+            keep.append(j)
+            Q = np.concatenate([Q, (v / nv)[:, None]], axis=1)
+        else:
+            dropped.append(names[j])
+    if not dropped:
+        return X, names, []
+    import warnings
+
+    warnings.warn(
+        f"fixed-effect model matrix is rank deficient so dropping "
+        f"{len(dropped)} column(s) / coefficient(s): {dropped}"
+    )
+    return X[:, keep], [names[j] for j in keep], dropped
+
+
+def _check_x_scale(X: np.ndarray, names: list[str], tol: float = 1e3):
+    """Warn when continuous predictor scales differ wildly
+    (checkScaleX, lme4_functions.R:953-980)."""
+    cont = np.array([not np.all(np.isin(X[:, j], (0.0, 1.0)))
+                     for j in range(X.shape[1])])
+    if cont.sum() == 0:
+        return
+    col_sd = X[:, cont].std(axis=0, ddof=1)
+    col_sd = np.maximum(col_sd, 1e-300)
+    logsd = np.abs(np.log(col_sd))
+    logcomp = np.abs(np.log(col_sd[:, None] / col_sd[None, :]))
+    if np.any(logsd > np.log(tol)) or np.any(logcomp > np.log(tol)):
+        import warnings
+
+        warnings.warn(
+            "some predictor variables are on very different scales: "
+            "consider rescaling"
+        )
+
+
 def _na_rows(arrs: list[np.ndarray]) -> np.ndarray:
     """Boolean mask of rows with any NA across the given arrays."""
     n = len(arrs[0]) if arrs else 0
@@ -370,8 +425,23 @@ def build_model_frame(
         if w is not None:
             w = w[keep]
 
+    # duplicate group-specific terms check (rstanarm_functions.R:591-606)
+    seen_cnms: dict[str, set] = {}
+    for rt, _, nm, _, _ in re_raw:
+        prev = seen_cnms.setdefault(rt.group, set())
+        overlap = prev & set(nm)
+        if overlap:
+            raise ValueError(
+                "stan4bart does not permit formulas with duplicate "
+                f"group-specific terms: {rt.group!r} is used as a grouping "
+                f"factor multiple times and {sorted(overlap)} is included "
+                "multiple times. Consider using || or -1 in your formulas."
+            )
+        prev.update(nm)
+
     # drop degenerate fixed columns (<2 unique values;
-    # rstanarm_functions.R:437-443), then center
+    # rstanarm_functions.R:437-443), then rank-deficient columns
+    # (chkRank.drop.cols, lme4_functions.R:909-952), then center
     dropped = []
     if X_full.shape[1] > 0:
         nuniq = np.array([len(np.unique(X_full[:, j]))
@@ -380,6 +450,11 @@ def build_model_frame(
         dropped = [n for n, k in zip(X_names, keep_cols) if not k]
         X_full = X_full[:, keep_cols]
         X_names = [n for n, k in zip(X_names, keep_cols) if k]
+    if X_full.shape[1] > 1:
+        X_full, X_names, rank_dropped = _drop_rank_deficient(X_full, X_names)
+        dropped += rank_dropped
+    if X_full.shape[1] >= 1:
+        _check_x_scale(X_full, X_names)
     X_means = X_full.mean(axis=0) if X_full.shape[1] else np.zeros(0)
     X = X_full - X_means
 

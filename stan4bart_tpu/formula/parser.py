@@ -88,6 +88,28 @@ def _find_top_level(s: str, target: str) -> int:
 _NAME_RE = re.compile(r"^[A-Za-z_.][A-Za-z0-9_.]*$")
 
 
+def _expand_nested_group(group: str) -> list[str]:
+    """'g1/g2/g3' -> ['g1', 'g1:g2', 'g1:g2:g3'] (R nesting operator)."""
+    parts = []
+    depth, cur = 0, []
+    for ch in group:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if depth == 0 and ch == "/":
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    out, prefix = [], ""
+    for p in parts:
+        prefix = f"{prefix}:{p}" if prefix else p
+        out.append(prefix)
+    return out
+
+
 def expand_terms(
     terms: list[tuple[str, str]],
     all_columns: list[str] | None,
@@ -168,10 +190,14 @@ def parse_formula(
             lhs_terms, lhs_int = expand_terms(
                 _split_top_level(lhs_expr), columns, set()
             )
-            random_terms.append(
-                RandomTerm(lhs_terms=lhs_terms, lhs_intercept=lhs_int,
-                           group=group, raw=term)
-            )
+            # nested grouping: (expr | g1/g2) expands to
+            # (expr|g1) + (expr|g1:g2) (lme4 findbars '/' semantics,
+            # lme4_functions.R:664-736)
+            for g in _expand_nested_group(group):
+                random_terms.append(
+                    RandomTerm(lhs_terms=lhs_terms, lhs_intercept=lhs_int,
+                               group=g, raw=term)
+                )
         elif term.startswith("offset(") and term.endswith(")"):
             offset_terms.append(term[len("offset(") : -1].strip())
         else:

@@ -100,6 +100,24 @@ def build_parametric_model(
     ps = priors_mod.handle_glm_prior(prior, K, default_scale=2.5)
     pa = priors_mod.handle_glm_prior(prior_aux, 1, default_scale=1.0)
 
+    if ps["prior_dist"] == 8:
+        # R2 prior: only meaningful jointly over the QR-rotated coefficients
+        # with unit-variance columns (rstanarm stan_lm always uses QR)
+        if is_binary:
+            raise ValueError("the R2 prior requires a gaussian response")
+        if not stan_args.qr:
+            raise ValueError("the R2 prior requires stan_args qr=True "
+                             "(stan_lm semantics)")
+        if K < 2:
+            raise ValueError("the R2 prior requires multiple predictors")
+
+    if decov.get("dist") not in ("decov", "lkj"):
+        raise ValueError(
+            "prior_covariance must be decov() or lkj() "
+            f"(got {decov.get('dist')!r})"
+        )
+    cov_prior = 1 if decov["dist"] == "lkj" else 0
+
     # gaussian autoscaling by sd(y) (stan4bart_fit.R:206-214)
     if not is_binary:
         ss = _sd(y)
@@ -122,7 +140,8 @@ def build_parametric_model(
             raise ValueError("'qr' requires multiple predictors "
                              "(stan4bart_fit.R:241-242)")
         Q, R = np.linalg.qr(xtemp)
-        if ps["prior_autoscale"]:
+        if ps["prior_autoscale"] or ps["prior_dist"] == 8:
+            # R2 needs X = Q sqrt(N-1) so var(X beta) = |beta|^2
             scale_factor = np.sqrt(xtemp.shape[0] - 1.0)
         else:
             scale_factor = np.diag(R)[-1]
@@ -147,11 +166,13 @@ def build_parametric_model(
         l=tuple(mf.l),
         num_normals=num_normals,
         centered=bool(stan_args.centered_ranef),
+        cov_prior=cov_prior,
     )
 
     t = cfg.t
     concentration = np.broadcast_to(
-        np.atleast_1d(decov["concentration"]), (cfg.len_concentration,)
+        np.atleast_1d(decov.get("concentration", 1.0)),
+        (cfg.len_concentration,)
     ).astype(np.float64) if cfg.len_concentration else np.zeros(0)
     regularization = np.broadcast_to(
         np.atleast_1d(decov["regularization"]), (cfg.len_regularization,)
@@ -175,12 +196,26 @@ def build_parametric_model(
         prior_scale_for_intercept=1.0,
         prior_df_for_intercept=1.0,
         shape_decov=np.broadcast_to(
-            np.atleast_1d(decov["shape"]), (t,)).astype(np.float64),
+            np.atleast_1d(decov.get("shape", 1.0)), (t,)).astype(np.float64),
         scale_decov=np.broadcast_to(
-            np.atleast_1d(decov["scale"]), (t,)).astype(np.float64),
+            np.atleast_1d(decov.get("scale", 1.0)), (t,)).astype(np.float64),
         regularization=regularization,
     )
     hyper["delta"] = decov_delta(cfg, concentration)
+    if cov_prior == 1:
+        lkj_scale = np.broadcast_to(
+            np.atleast_1d(decov.get("scale", 10.0)), (t,)
+        ).astype(np.float64).copy()
+        if decov.get("autoscale", True) and not is_binary:
+            lkj_scale = lkj_scale * _sd(y)
+        hyper["lkj_scale"] = lkj_scale
+        hyper["lkj_df"] = np.broadcast_to(
+            np.atleast_1d(decov.get("df", 1.0)), (t,)).astype(np.float64)
+    if ps["prior_dist"] == 8:
+        hyper["R2_eta"] = priors_mod.make_eta(
+            ps["R2_location"], ps["R2_what"], K
+        )
+        hyper["R2_s"] = _sd(y)
 
     z_structs = [(rt.lhs, rt.group_idx) for rt in mf.re_terms]
     model = ParametricModel(cfg, xtemp, z_structs, hyper,

@@ -56,7 +56,7 @@ class ParametricConfig:
     has_intercept: bool
     is_binary: bool
     has_weights: bool
-    prior_dist: int                 # 0..7 (continuous.stan:184-186)
+    prior_dist: int                 # 0..7 (continuous.stan:184-186); 8 = R2
     prior_dist_for_intercept: int   # 0..2
     prior_dist_for_aux: int         # 0..3
     t: int
@@ -70,6 +70,10 @@ class ParametricConfig:
     # parameterization forms a curved (z_b, tau) ridge that pins NUTS at
     # max treedepth with stepsize ~5e-4 (measured on CPU x64 and TPU alike)
     centered: bool = False
+    # covariance prior family: 0 = decov (gamma-scaled simplex, the
+    # reference's only option), 1 = lkj (independent half-t sds + LKJ
+    # correlation, rstanarm's lkj() for prior_covariance)
+    cov_prior: int = 0
 
     @property
     def q(self) -> int:
@@ -128,11 +132,16 @@ def make_layout(cfg: ParametricConfig):
     add("caux", 1 if cfg.hs > 0 else 0, _POS)
     add("mix", cfg.K if cfg.prior_dist in (5, 6) else 0, _POS)
     add("one_over_lambda", 1 if cfg.prior_dist == 6 else 0, _POS)
+    add("R2", 1 if cfg.prior_dist == 8 else 0, _UNIT)
     add("b_raw" if cfg.centered else "z_b", cfg.q, _ID)
     add("z_T", cfg.len_z_T, _ID)
     add("rho", cfg.len_rho, _UNIT)
-    add("zeta", cfg.len_concentration, _POS)
-    add("tau", cfg.t, _POS)
+    if cfg.cov_prior == 1:
+        # lkj: per-coefficient sds replace the decov zeta/tau machinery
+        add("sds", sum(cfg.p), _POS)
+    else:
+        add("zeta", cfg.len_concentration, _POS)
+        add("tau", cfg.t, _POS)
     add("aux_unscaled", 0 if cfg.is_binary else 1, _POS)
     return blocks
 
@@ -278,6 +287,13 @@ def compute_beta(cfg: ParametricConfig, c, hyper, aux):
                 prod * hyper["prior_scale"][k] ** nn + hyper["prior_mean"][k]
             )
         return jnp.stack(segs)
+    if pd == 8:
+        # R2 prior (stan_lm): beta_qr = u sqrt(R2) sd(y), u uniform on the
+        # unit sphere via z/|z| with z ~ N(0,1) (Stan's unit_vector), with
+        # X = Q sqrt(N-1) so var(X beta) = R2 var(y)
+        r2 = c["R2"][0]
+        norm = jnp.sqrt(jnp.sum(z_beta * z_beta) + 1e-30)
+        return z_beta / norm * jnp.sqrt(r2) * hyper["R2_s"]
     raise ValueError(f"unknown prior_dist {pd}")
 
 
@@ -324,6 +340,46 @@ def make_theta_L(cfg: ParametricConfig, dispersion, tau, scale, zeta, rho, z_T):
     return jnp.concatenate(theta_L)
 
 
+
+
+def make_theta_L_lkj(cfg: ParametricConfig, sds, rho, z_T):
+    """Cholesky blocks for the lkj covariance prior: diag(sds_i) @ L_corr_i
+    with L_corr_i built by the same onion recursion as decov (the rho beta
+    ladder with shape eta=regularization IS the LKJ(eta) onion sampler).
+    Unlike decov, the dispersion is NOT folded in — sds are in response
+    units (rstanarm stan_mvmer lkj semantics)."""
+    theta_L = []
+    sd_mark = rho_mark = z_T_mark = 0
+    for nc in cfg.p:
+        if nc == 1:
+            theta_L.append(sds[sd_mark][None])
+            sd_mark += 1
+            continue
+        sd_seg = sds[sd_mark : sd_mark + nc]
+        sd_mark += nc
+        T = [[None] * nc for _ in range(nc)]
+        T[0][0] = sd_seg[0]
+        T21 = 2.0 * rho[rho_mark] - 1.0
+        rho_mark += 1
+        T[1][1] = sd_seg[1] * jnp.sqrt(1.0 - T21 * T21)
+        T[1][0] = sd_seg[1] * T21
+        for r in range(1, nc - 1):
+            T_row = z_T[z_T_mark : z_T_mark + r + 1]
+            z_T_mark += r + 1
+            scale_factor = (
+                jnp.sqrt(rho[rho_mark] / jnp.dot(T_row, T_row))
+                * sd_seg[r + 1]
+            )
+            for ci in range(r + 1):
+                T[r + 1][ci] = T_row[ci] * scale_factor
+            T[r + 1][r + 1] = jnp.sqrt(1.0 - rho[rho_mark]) * sd_seg[r + 1]
+            rho_mark += 1
+        for ci in range(nc):
+            for ri in range(ci, nc):
+                theta_L.append(T[ri][ci][None])
+    if not theta_L:
+        return jnp.zeros(0, dtype=sds.dtype if cfg.t else jnp.float64)
+    return jnp.concatenate(theta_L)
 
 
 def make_b(cfg: ParametricConfig, z_b, theta_L):
@@ -430,13 +486,20 @@ class ParametricModel:
         aux = self._aux(c)
         beta = compute_beta(cfg, c, h, aux)
         dispersion = jnp.asarray(1.0, self.dtype) if cfg.is_binary else aux
-        theta_L = make_theta_L(
-            cfg, dispersion, c.get("tau", jnp.zeros(0, self.dtype)),
-            h["scale_decov"],
-            c.get("zeta", jnp.zeros(0, self.dtype)),
-            c.get("rho", jnp.zeros(0, self.dtype)),
-            c.get("z_T", jnp.zeros(0, self.dtype)),
-        )
+        if cfg.cov_prior == 1:
+            theta_L = make_theta_L_lkj(
+                cfg, c.get("sds", jnp.zeros(0, self.dtype)),
+                c.get("rho", jnp.zeros(0, self.dtype)),
+                c.get("z_T", jnp.zeros(0, self.dtype)),
+            )
+        else:
+            theta_L = make_theta_L(
+                cfg, dispersion, c.get("tau", jnp.zeros(0, self.dtype)),
+                h["scale_decov"],
+                c.get("zeta", jnp.zeros(0, self.dtype)),
+                c.get("rho", jnp.zeros(0, self.dtype)),
+                c.get("z_T", jnp.zeros(0, self.dtype)),
+            )
         if cfg.centered:
             b = c.get("b_raw", jnp.zeros(0, self.dtype))
         else:
@@ -564,6 +627,13 @@ class ParametricModel:
                 lp = lp + dists.chi_square_lpdf(
                     c["one_over_lambda"], h["prior_df"][0]
                 )
+        elif pd == 8:
+            # unit-sphere direction via z ~ N(0,1); R2 ~ Beta(K/2, eta)
+            # (the unit-interval Jacobian is already in log_jac)
+            lp = lp + dists.normal_lpdf(c["z_beta"])
+            lp = lp + dists.beta_lpdf(
+                c["R2"], 0.5 * cfg.K, h["R2_eta"]
+            )
 
         # intercept prior (continuous.stan:417-425)
         if cfg.has_intercept and cfg.prior_dist_for_intercept > 0:
@@ -609,9 +679,22 @@ class ParametricModel:
                         rho_seg, jnp.asarray(shape1, self.dtype),
                         jnp.asarray(shape2, self.dtype),
                     )
-            if cfg.len_concentration > 0:
-                lp = lp + dists.gamma_lpdf(c["zeta"], h["delta"], 1.0)
-            lp = lp + dists.gamma_lpdf(c["tau"], h["shape_decov"], 1.0)
+            if cfg.cov_prior == 1:
+                # lkj: sds ~ half-Student-t(df, 0, scale) per term
+                # (rstanarm lkj(); the rho beta ladder above already
+                # implements LKJ(regularization) via the onion)
+                sd_mark = 0
+                _LOG_2 = 0.6931471805599453
+                for i, nc in enumerate(cfg.p):
+                    seg = c["sds"][sd_mark : sd_mark + nc]
+                    sd_mark += nc
+                    lp = lp + dists.student_t_lpdf(
+                        seg, h["lkj_df"][i], 0.0, h["lkj_scale"][i]
+                    ) + nc * _LOG_2
+            else:
+                if cfg.len_concentration > 0:
+                    lp = lp + dists.gamma_lpdf(c["zeta"], h["delta"], 1.0)
+                lp = lp + dists.gamma_lpdf(c["tau"], h["shape_decov"], 1.0)
 
         return lp + log_jac
 

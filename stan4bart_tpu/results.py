@@ -52,6 +52,12 @@ class Stan4bartFit:
     sigma_init: float = 1.0
     seed: int = 0
     callback_draws: Any = None
+    # resolved prior info (assemble info dict) for prior_summary()
+    prior_info: dict | None = None
+    # wall-clock phase timings (the reference's warm/sample_delta_t,
+    # interruptable_sampler.hpp:101-102): dict with 'total' and, in chunked
+    # mode, 'warmup'/'sample' seconds
+    timings: dict | None = None
     # True once the stored stan draws hold un-rotated betas.  An init field
     # (not init=False) so dataclasses.replace() carries it over and
     # __post_init__ cannot re-apply R_inv to already-un-rotated draws
@@ -95,6 +101,8 @@ class Stan4bartFit:
     def iterations(self) -> int:
         import jax
 
+        if self.draws is None:  # keep_fits=False with no callback
+            return self.warmup + self.prog.iterations
         return jax.tree_util.tree_leaves(self.draws)[0].shape[1]
 
     def _slice(self, arr, include_warmup):
@@ -294,16 +302,16 @@ class Stan4bartFit:
         if sample not in ("train", "test"):
             raise ValueError("sample must be 'train' or 'test'")
 
-        if type == "stan":
-            return self._flatten(
-                self._slice(self.draws.stan, include_warmup), combine_chains
-            )
         if type == "callback":
             import jax
 
             src = self.callback_draws if self.keep_fits else self.draws
             if src is None:
-                raise ValueError("no callback was supplied to stan4bart()")
+                raise ValueError(
+                    "no callback was supplied to stan4bart()"
+                    + ("" if self.keep_fits else
+                       " and keep_fits=False stored no raw draws")
+                )
             return jax.tree_util.tree_map(
                 lambda a: self._flatten(self._slice(a, include_warmup),
                                         combine_chains),
@@ -313,6 +321,10 @@ class Stan4bartFit:
             raise ValueError(
                 "raw draws were not stored (keep_fits=False); only "
                 "type='callback' is available (man/stan4bart.Rd:227-242)"
+            )
+        if type == "stan":
+            return self._flatten(
+                self._slice(self.draws.stan, include_warmup), combine_chains
             )
         if type == "k":
             if not hasattr(self.draws, "k"):
@@ -543,6 +555,78 @@ class Stan4bartFit:
         if C > 1:
             out = {"chain": chain_col, **out}
         return out
+
+    def print_trees(self, chains=None, samples=None, trees=None,
+                    include_warmup: bool = False, max_print: int = 50):
+        """Human-readable tree dump (the reference's printTrees,
+        init.cpp:505-576): indented internal nodes as 'X[var] <= cut' and
+        leaves with their values, restricted to the requested chain/sample/
+        tree indices (all when None)."""
+        feature, cut, leaf_value = self._tree_draws(include_warmup)
+        feature = np.asarray(feature)
+        cut_arr = np.asarray(cut)
+        lv = np.asarray(leaf_value)
+        C, I, T, M = feature.shape
+        chains = range(C) if chains is None else np.atleast_1d(chains)
+        samples = range(I) if samples is None else np.atleast_1d(samples)
+        trees = range(T) if trees is None else np.atleast_1d(trees)
+        names = self.mf.bart_names
+        printed = 0
+
+        def emit(c, s, t, node, depth):
+            nonlocal printed
+            if node >= M or printed >= max_print * 100:
+                return
+            f = feature[c, s, t, node]
+            pad = "  " * (depth + 1)
+            if f >= 0:
+                cutv = self.prog.cuts[f, cut_arr[c, s, t, node]]
+                print(f"{pad}{names[f]} <= {cutv:.6g}")
+                emit(c, s, t, 2 * node + 1, depth + 1)
+                emit(c, s, t, 2 * node + 2, depth + 1)
+            elif f == -1:
+                print(f"{pad}leaf {lv[c, s, t, node]:.6g}")
+
+        for c in chains:
+            for s in samples:
+                for t in trees:
+                    if printed >= max_print:
+                        print(f"... (stopped after {max_print} trees)")
+                        return
+                    print(f"[chain {c + 1}] sample {s + 1} tree {t + 1}:")
+                    emit(c, s, t, 0, 0)
+                    printed += 1
+
+    def prior_summary(self):
+        """Print the resolved priors — the reference's prior summary
+        (rstanarm_functions.R:270-365): family, location/scale, and the
+        autoscale-adjusted scales actually used."""
+        if not self.prior_info:
+            print("prior information was not recorded")
+            return
+
+        def show_block(title, ps):
+            dist = ps.get("prior_dist_name")
+            if dist is None:
+                print(f"{title}: flat (improper uniform)")
+                return
+            scale = np.atleast_1d(ps.get("prior_scale", np.nan))
+            mean = np.atleast_1d(ps.get("prior_mean", 0.0))
+            desc = f"{dist}(location = {np.round(mean, 3).tolist()}, " \
+                   f"scale = {np.round(scale, 3).tolist()})"
+            if ps.get("prior_autoscale"):
+                desc += "  [autoscaled]"
+            print(f"{title}: {desc}")
+
+        print("Priors:")
+        show_block("  coefficients", self.prior_info.get("coef", {}))
+        if not self.is_binary:
+            show_block("  aux (sigma)", self.prior_info.get("aux", {}))
+        cov = self.prior_info.get("covariance")
+        if cov and self.mf.q > 0:
+            args = ", ".join(f"{k} = {v}" for k, v in cov.items()
+                             if k != "dist")
+            print(f"  covariance: {cov.get('dist')}({args})")
 
     # -- pretty-named draw matrix ----------------------------------------------
 

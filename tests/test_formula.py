@@ -48,6 +48,60 @@ def test_parse_nested_group():
     assert p.random_terms[0].group == "g.1:g.2"
 
 
+def test_slash_nesting_expansion():
+    """(1 | g1/g2) == (1|g1) + (1|g1:g2) (lme4 '/' operator,
+    lme4_functions.R:664-736)."""
+    p = parse_formula("y ~ bart(x1) + (1 | g.1/g.2)")
+    assert [t.group for t in p.random_terms] == ["g.1", "g.1:g.2"]
+    p3 = parse_formula("y ~ bart(x1) + (1 + x2 | a/b/c)")
+    assert [t.group for t in p3.random_terms] == ["a", "a:b", "a:b:c"]
+    assert all(t.lhs_terms == ["x2"] for t in p3.random_terms)
+
+
+def test_slash_nesting_builds(df):
+    mf = build_model_frame("y ~ bart(X1+X2) + X4 + (1 | g.1/g.2)", df)
+    explicit = build_model_frame(
+        "y ~ bart(X1+X2) + X4 + (1 | g.1) + (1 | g.1:g.2)", df
+    )
+    assert [t.group_name for t in mf.re_terms] == ["g.1", "g.1:g.2"]
+    assert mf.q == explicit.q
+    for a, b in zip(mf.re_terms, explicit.re_terms):
+        np.testing.assert_array_equal(a.group_idx, b.group_idx)
+
+
+def test_duplicate_ranef_term_errors(df):
+    """rstanarm_functions.R:591-606 check_reTrms."""
+    with pytest.raises(ValueError, match="duplicate group-specific"):
+        build_model_frame(
+            "y ~ bart(X1+X2) + X4 + (1 | g.1) + (1 + X4 | g.1)", df
+        )
+    # distinct coefficient sets on the same factor are allowed
+    mf = build_model_frame(
+        "y ~ bart(X1+X2) + X4 + (0 + X4 | g.1) + (1 | g.1)", df
+    )
+    assert len(mf.re_terms) == 2
+
+
+def test_rank_deficient_X_drops_and_warns(df):
+    data = {k: np.asarray(v) for k, v in df.items()}
+    data["X4b"] = 2.0 * np.asarray(df["X4"])  # exactly collinear
+    with pytest.warns(UserWarning, match="rank deficient"):
+        mf = build_model_frame("y ~ bart(X1+X2) + X4 + X4b + z", data)
+    assert "X4b" in mf._dropped_fixed
+    assert mf.X_names == ["X4", "z"]
+    # the test frame re-drops the recorded column
+    tf = mf.build_test_frame(data)
+    assert tf.X.shape[1] == mf.X.shape[1]
+    np.testing.assert_allclose(tf.X, mf.X)
+
+
+def test_extreme_scale_warns(df):
+    data = {k: np.asarray(v) for k, v in df.items()}
+    data["huge"] = np.asarray(df["X4"]) * 1e7 + np.arange(len(data["y"]))
+    with pytest.warns(UserWarning, match="different scales"):
+        build_model_frame("y ~ bart(X1+X2) + X4 + huge", data)
+
+
 def test_model_frame_shapes(df):
     mf = build_model_frame(
         "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) + (1 | g.2)",

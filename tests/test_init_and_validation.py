@@ -67,3 +67,28 @@ def test_verbose_initial_summary(capsys):
     assert "stan4bart: gaussian model" in out
     assert "trees = 3" in out
     assert "adapt_delta = 0.8" in out
+
+
+def test_print_trees_and_prior_summary(capsys):
+    """printTrees parity (init.cpp:505-576) + prior summary surface
+    (rstanarm_functions.R:270-365)."""
+    import stan4bart_tpu as s4b
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    df = friedman_dataframe(generate_friedman_data(60, ranef=True))
+    fit = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df, chains=1, warmup=10,
+        iter=25, seed=0, verbose=-1,
+        bart_args={"n.trees": 3, "keep_trees": True},
+    )
+    fit.print_trees(samples=[0], max_print=3)
+    out = capsys.readouterr().out
+    assert "tree 1:" in out and ("leaf" in out)
+    fit.prior_summary()
+    out = capsys.readouterr().out
+    assert "coefficients: normal" in out
+    assert "covariance: decov" in out
+    assert fit.timings["total"] > 0
