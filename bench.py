@@ -6,11 +6,12 @@ JAX backend (the real TPU chip under axon; CPU otherwise), timing the
 post-compile sampling phase only, and prints ONE JSON line.
 
 vs_baseline: the reference publishes no throughput numbers
-(BASELINE.md: "published: {}") and R/stan4bart cannot run in this image, so
-the denominator is a documented ESTIMATE of the reference's single-core
-aggregate draws/s on this exact config: dbarts-class BART at n=10k with 75
-trees plus a Stan NUTS transition runs ~5 it/s/core (order-of-magnitude from
-dbarts-scale timings); the north-star target is >= 10x that (BASELINE.md).
+(BASELINE.md: "published: {}") and R/stan4bart cannot run in this image.
+The denominator is the MEASURED single-thread CPU draws/s of this sampler
+on the same config (benchmarks/baseline_cpu.py writes BASELINE_CPU.json —
+same algorithm class as one reference chain: NUTS + 75-tree BART sweep per
+Gibbs iteration at n=10k), falling back to the round-1 documented estimate
+of 5 draws/s/core when the measurement file is absent.
 """
 
 import json
@@ -18,7 +19,18 @@ import os
 import sys
 import time
 
-REFERENCE_DRAWS_PER_S_EST = 5.0  # single-core stan4bart estimate, see above
+REFERENCE_DRAWS_PER_S_EST = 5.0  # fallback estimate, see module docstring
+
+
+def _baseline_denominator():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return float(rec["value"]), f"measured ({rec['config']})"
+    except Exception:
+        return REFERENCE_DRAWS_PER_S_EST, "estimate"
 
 N = 10_000
 # chains amortize fixed per-step cost (measured post-gather-fix: 16 chains
@@ -142,12 +154,15 @@ def main():
         file=sys.stderr,
     )
 
+    denom, denom_kind = _baseline_denominator()
+    print(f"# vs_baseline denominator: {denom} draws/s ({denom_kind})",
+          file=sys.stderr)
     print(json.dumps({
         "metric": f"aggregate draws/s, Friedman n=10k, {CHAINS} chains, "
                   f"{NUM_TREES} trees",
         "value": round(draws_per_s, 3),
         "unit": "draws/s",
-        "vs_baseline": round(draws_per_s / REFERENCE_DRAWS_PER_S_EST, 3),
+        "vs_baseline": round(draws_per_s / denom, 3),
     }))
 
 

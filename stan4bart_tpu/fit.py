@@ -295,6 +295,7 @@ def stan4bart(
         kappa=resolved_stan_args.adapt_kappa,
         t0=resolved_stan_args.adapt_t0,
         stepsize_jitter=resolved_stan_args.stepsize_jitter,
+        freeze_rule=resolved_stan_args.freeze_rule,
     )
 
     bart_offset_init, sigma_init = _init_parametric_fit(mf, family)

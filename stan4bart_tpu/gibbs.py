@@ -536,16 +536,22 @@ class GibbsProgram:
         return nuts, info, ViState(mu=mu, omega=omega, acc=acc, count=cnt)
 
     def _disengage(self, state: GibbsState) -> GibbsState:
-        """Freeze stepsize at the dual-averaged value
-        (interruptable_sampler.hpp:206-210)."""
+        """Freeze the sampling stepsize (interruptable_sampler.hpp:206-210).
+        freeze_rule selects bar (Stan), last, or the geometric midpoint —
+        see NutsConfig.freeze_rule."""
+        da = state.nuts.da
+        rule = self.nuts_cfg.freeze_rule
+        if rule == "last":
+            frozen = da.log_eps
+        elif rule == "mid":
+            frozen = 0.5 * (da.log_eps + da.log_eps_bar)
+        else:  # "bar"
+            frozen = da.log_eps_bar
+        frozen = jnp.where(da.count > 0, frozen, da.log_eps)
+        # post-warmup transitions read log_eps_bar (adapt_stepsize=False
+        # path in nuts_transition) — freeze must write BOTH iterates
         return state._replace(nuts=state.nuts._replace(
-            da=state.nuts.da._replace(
-                log_eps=jnp.where(
-                    state.nuts.da.count > 0,
-                    state.nuts.da.log_eps_bar,
-                    state.nuts.da.log_eps,
-                )
-            )
+            da=da._replace(log_eps=frozen, log_eps_bar=frozen)
         ))
 
     def run_chains_chunked(self, keys, chunk_size: int,

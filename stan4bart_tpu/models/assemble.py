@@ -47,6 +47,7 @@ class StanArgs:
     max_treedepth: int = 10
     stepsize: float = 1.0
     stepsize_jitter: float = 0.0
+    freeze_rule: str = "bar"   # NutsConfig.freeze_rule
     seed: int | None = None
     keep_trees: bool = False
 

@@ -32,6 +32,7 @@ explicit arguments — the coupling surface the reference implements as
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import jax
@@ -518,13 +519,26 @@ class ParametricModel:
         # treedepth pinned at max)
         return jnp.dot(X, beta, precision=jax.lax.Precision.HIGHEST)
 
+    # level-count threshold above which the Z matvec switches from the
+    # (N, l) one-hot MXU matmul to a gather/segment-sum: the one-hot costs
+    # O(N*l) memory per term PER CHAIN (at l=4096, N=10k, f32 that is
+    # 160 MB — past HBM per vmapped chain), while the gather path is O(N*p)
+    # with a serialized gather (~0.4 ms at N=10k measured) and a
+    # scatter-add transpose.  This is the large-q regime the reference
+    # engineered CSR for (continuous.hpp:1176-1197; SURVEY section 5).
+    LARGE_Q_THRESHOLD = int(os.environ.get("S4B_LARGE_Q_THRESHOLD", "2048"))
+
     def eta_random(self, b, z_structs=None):
-        """Z b via per-term one-hot matmuls (TPU-native replacement for the
-        reference's CSR matvec, continuous.hpp:1176-1197).  Fancy-index
-        gathers compile to serialized kCustom gathers on TPU (~0.4 ms at
-        N=10k) and their AD transpose is a scatter-add; the (N, l) one-hot
-        matmul runs on the MXU with a matmul transpose, and the one-hot
-        build is loop-invariant so XLA hoists it out of the leapfrog loop."""
+        """Z b per term (TPU-native replacement for the reference's CSR
+        matvec, continuous.hpp:1176-1197).
+
+        Small l: one-hot MXU matmul — fancy-index gathers compile to
+        serialized kCustom gathers on TPU (~0.4 ms at N=10k) and their AD
+        transpose is a scatter-add, while the (N, l) one-hot matmul runs on
+        the MXU with a matmul transpose and the one-hot build is
+        loop-invariant so XLA hoists it out of the leapfrog loop.
+        Large l (> LARGE_Q_THRESHOLD): gather/segment-sum — the one-hot's
+        O(N*l) memory is the binding constraint there, not flops."""
         zs = self.z_structs if z_structs is None else z_structs
         n = zs[0][0].shape[0] if zs else self.cfg.N
         eta = jnp.zeros(n, dtype=self.dtype)
@@ -532,12 +546,19 @@ class ParametricModel:
             zs, self.b_offsets, self.cfg.p, self.cfg.l
         ):
             b_mat = b[off : off + pi * li].reshape(li, pi)
-            # unseen levels (gidx == -1) get an all-zero one-hot row
-            onehot = (
-                gidx[:, None] == jnp.arange(li, dtype=jnp.int32)[None, :]
-            ).astype(self.dtype)
-            per_obs = jnp.dot(onehot, b_mat,
-                              precision=jax.lax.Precision.HIGHEST)
+            if li > self.LARGE_Q_THRESHOLD:
+                safe = jnp.clip(gidx, 0, li - 1)
+                per_obs = jnp.where(
+                    (gidx >= 0)[:, None], b_mat[safe], 0.0
+                )
+            else:
+                # unseen levels (gidx == -1) get an all-zero one-hot row
+                onehot = (
+                    gidx[:, None]
+                    == jnp.arange(li, dtype=jnp.int32)[None, :]
+                ).astype(self.dtype)
+                per_obs = jnp.dot(onehot, b_mat,
+                                  precision=jax.lax.Precision.HIGHEST)
             eta = eta + jnp.sum(lhs * per_obs, axis=1)
         return eta
 

@@ -45,6 +45,13 @@ class NutsConfig(NamedTuple):
     # against the Gibbs-moving conditional the one-leapfrog re-search can
     # return a far-off value that the averaged iterate never recovers from
     window_end_research: bool = True
+    # what stepsize to freeze at when adaptation disengages: "bar" = the
+    # dual-averaged iterate (Stan behavior), "last" = the final running
+    # iterate, "mid" = geometric midpoint.  Against the Gibbs-moving
+    # conditional the bar lags the (still-improving) optimum accumulated
+    # over the term buffer — measured sampling accept 0.90 vs target 0.8,
+    # i.e. frozen ~1.5-2x too small (BENCH_NOTES round-2 target #3)
+    freeze_rule: str = "bar"
 
 
 class DualAveragingState(NamedTuple):

@@ -45,6 +45,49 @@ def test_probabilities_calibrated(fit_and_data):
     assert dev < 0.8 * dev0, f"deviance {dev} vs null {dev0}"
 
 
+def _deviance(p, y):
+    p = np.clip(p, 1e-9, 1 - 1e-9)
+    return -2 * np.sum(y * np.log(p) + (1 - y) * np.log1p(-p))
+
+
+@pytest.mark.slow
+def test_deviance_ladder_vs_fitted_comparators(fit_and_data):
+    """The reference's test-02-binary.R:32-79 gates against FITTED
+    comparators, not the null: deviance <= glmer-analog (probit IRLS with
+    group dummies), <= 1.35x a BART-only fit (bart2 analog), and <= 1.35x
+    the VI backend (rbart_vi analog)."""
+    fit, d, df = fit_and_data
+    y = d["y"]
+    ev = fit.fitted("ev")
+    dev_s4b = _deviance(ev, y)
+
+    # glmer analog: probit IRLS on [1, X, Z] (the package's init ladder)
+    from stan4bart_tpu.fit import _init_parametric_fit
+
+    eta_glm, _ = _init_parametric_fit(fit.mf, "binomial")
+    dev_glm = _deviance(norm.cdf(eta_glm), y)
+
+    # bart2 analog: BART-only probit fit on the same predictors
+    bart_only = s4b.stan4bart(
+        "y ~ bart(X1 + X2 + X3 + X4 + X5)", df,
+        chains=2, warmup=300, iter=700, seed=12, verbose=-1,
+        bart_args={"n.trees": 40},
+    )
+    dev_bart = _deviance(bart_only.fitted("ev"), y)
+
+    # rbart_vi analog: the VI backend on the full model
+    vi = s4b.stan4bart(
+        "y ~ bart(X1 + X2 + X3 + X5) + X4 + (1 | g.2)", df,
+        chains=2, warmup=300, iter=700, seed=13, verbose=-1,
+        algorithm="vi", bart_args={"n.trees": 40},
+    )
+    dev_vi = _deviance(vi.fitted("ev"), y)
+
+    assert dev_s4b <= dev_glm, (dev_s4b, dev_glm)
+    assert dev_s4b <= 1.35 * dev_bart, (dev_s4b, dev_bart)
+    assert dev_s4b <= 1.35 * dev_vi, (dev_s4b, dev_vi)
+
+
 def test_sigma_raises(fit_and_data):
     fit, _, _ = fit_and_data
     with pytest.raises(ValueError, match="binary"):

@@ -225,3 +225,50 @@ def test_probit_config(df):
     u = jnp.zeros(model.num_upars)
     lp = model.log_prob(u, jnp.zeros(mf.N), jnp.asarray(mf.y))
     assert np.isfinite(float(lp))
+
+
+def test_large_q_gather_path_matches_onehot():
+    """Above LARGE_Q_THRESHOLD the Z matvec switches to gather/segment-sum;
+    both paths must agree (value and gradient) — the large-q regime the
+    reference engineered CSR for (continuous.hpp:1176-1197)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stan4bart_tpu.models.parametric import ParametricModel
+
+    rng = np.random.default_rng(0)
+    n, l, p = 400, 37, 2
+    lhs = rng.normal(size=(n, p))
+    gidx = rng.integers(0, l, size=n).astype(np.int32)
+    gidx[5] = -1  # one unseen level contributes zero
+    cfg = ParametricConfig(
+        N=n, K=0, has_intercept=False, is_binary=False, has_weights=False,
+        prior_dist=0, prior_dist_for_intercept=0, prior_dist_for_aux=3,
+        t=1, p=(p,), l=(l,),
+    )
+    hyper = dict(prior_mean=np.zeros(0), prior_scale=np.ones(0),
+                 prior_df=np.ones(0), global_prior_df=0.0,
+                 global_prior_scale=0.0, slab_df=0.0, slab_scale=0.0,
+                 prior_mean_for_aux=0.0, prior_scale_for_aux=1.0,
+                 prior_df_for_aux=1.0, prior_mean_for_intercept=0.0,
+                 prior_scale_for_intercept=1.0, prior_df_for_intercept=1.0,
+                 shape_decov=np.ones(1), scale_decov=np.ones(1),
+                 regularization=np.ones(1), delta=np.ones(p))
+    pm = ParametricModel(cfg, np.zeros((n, 0)), [(lhs, gidx)], hyper)
+    b = jnp.asarray(rng.normal(size=l * p))
+
+    def both(threshold):
+        old = ParametricModel.LARGE_Q_THRESHOLD
+        ParametricModel.LARGE_Q_THRESHOLD = threshold
+        try:
+            val = pm.eta_random(b)
+            g = jax.grad(lambda bb: jnp.sum(pm.eta_random(bb) ** 2))(b)
+        finally:
+            ParametricModel.LARGE_Q_THRESHOLD = old
+        return np.asarray(val), np.asarray(g)
+
+    v_onehot, g_onehot = both(10_000)  # one-hot path
+    v_gather, g_gather = both(1)       # gather path
+    np.testing.assert_allclose(v_gather, v_onehot, rtol=1e-12)
+    np.testing.assert_allclose(g_gather, g_onehot, rtol=1e-12)
+    assert v_onehot[5] == 0.0  # unseen level row
