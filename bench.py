@@ -38,6 +38,10 @@ N = 10_000
 # config, override with BENCH_CHAINS
 CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "200"))
+# NUTS disengage stepsize rule (NutsConfig.freeze_rule): the dual-averaged
+# bar lags the moving Gibbs conditional (sampling accept 0.90 vs target
+# 0.8 measured in round 1); BENCH_FREEZE selects bar/mid/last for A-B runs
+FREEZE = os.environ.get("BENCH_FREEZE", "mid")
 CHUNK = 25           # sampling iterations per compiled call
 N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
 NUM_TREES = 75
@@ -76,9 +80,12 @@ def main():
     pm, _, _ = build_parametric_model(
         mf, "gaussian", {"centered_ranef": True}, dtype=dtype
     )
+    from stan4bart_tpu.ops.nuts import NutsConfig
+
     prog = GibbsProgram(
         pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
+        nuts_cfg=NutsConfig(freeze_rule=FREEZE),
     )
 
     # NOTE: the axon tunnel kills single device executions longer than

@@ -227,6 +227,21 @@ def stan4bart(
         raise ValueError(f"offset_type must be one of {OFFSET_TYPES}")
     if algorithm not in ("nuts", "vi", "advi"):
         raise ValueError("algorithm must be 'nuts' or 'vi'")
+    # formal bounds (the reference validates these R-side,
+    # stan4bart_fit.R:385-410, and native-side via rc_bounds)
+    if not isinstance(iter, (int, np.integer)) or iter <= 0:
+        raise ValueError("'iter' must be a positive integer")
+    if warmup is not None and (warmup < 0 or int(warmup) != warmup):
+        raise ValueError("'warmup' must be a non-negative integer")
+    if chains <= 0:
+        raise ValueError("'chains' must be a positive integer")
+    if cores is not None and cores <= 0:
+        raise ValueError("'cores' must be a positive integer")
+    if skip is not None:
+        flat = (list(skip.values()) if isinstance(skip, dict)
+                else np.atleast_1d(skip).tolist())
+        if any(s <= 0 for s in flat):
+            raise ValueError("'skip' must be one or two positive integers")
     if warmup is None:
         warmup = iter // 2
     iterations = iter - warmup
@@ -315,6 +330,7 @@ def stan4bart(
         adapt_term_buffer=resolved_stan_args.adapt_term_buffer,
         adapt_base_window=resolved_stan_args.adapt_base_window,
         stepsize_init=resolved_stan_args.stepsize,
+        sigma_gibbs=resolved_stan_args.sigma_gibbs,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         dtype=dtype,

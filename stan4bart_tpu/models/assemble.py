@@ -48,12 +48,46 @@ class StanArgs:
     stepsize: float = 1.0
     stepsize_jitter: float = 0.0
     freeze_rule: str = "bar"   # NutsConfig.freeze_rule
+    # extra exact sigma conditional update per iteration (same posterior,
+    # decouples sigma mixing from NUTS drift; GibbsProgram.sigma_gibbs)
+    sigma_gibbs: bool = False
     seed: int | None = None
     keep_trees: bool = False
 
 
 def _sd(x):
     return float(np.std(x, ddof=1)) if len(x) > 1 else 1.0
+
+
+def _validate_stan_args(sa: StanArgs):
+    """Bounds validation of the resolved control surface — the analog of
+    the reference's rc_bounds constraint DSL applied to every control
+    field (stan_sampler.cpp:420-458; rc_bounds.c)."""
+    def check(name, value, lo=None, hi=None, lo_open=False, hi_open=False):
+        v = float(value)
+        if lo is not None and (v < lo or (lo_open and v == lo)):
+            raise ValueError(
+                f"stan_args {name} must be {'>' if lo_open else '>='} {lo}"
+            )
+        if hi is not None and (v > hi or (hi_open and v == hi)):
+            raise ValueError(
+                f"stan_args {name} must be {'<' if hi_open else '<='} {hi}"
+            )
+
+    check("init_r", sa.init_r, lo=0.0)
+    check("adapt_gamma", sa.adapt_gamma, lo=0.0, lo_open=True)
+    check("adapt_delta", sa.adapt_delta, lo=0.0, hi=1.0,
+          lo_open=True, hi_open=True)
+    check("adapt_kappa", sa.adapt_kappa, lo=0.0, lo_open=True)
+    check("adapt_t0", sa.adapt_t0, lo=0.0, lo_open=True)
+    check("adapt_init_buffer", sa.adapt_init_buffer, lo=0)
+    check("adapt_term_buffer", sa.adapt_term_buffer, lo=0)
+    check("adapt_base_window", sa.adapt_base_window, lo=1)
+    check("max_treedepth", sa.max_treedepth, lo=1)
+    check("stepsize", sa.stepsize, lo=0.0, lo_open=True)
+    check("stepsize_jitter", sa.stepsize_jitter, lo=0.0, hi=1.0)
+    if sa.freeze_rule not in ("bar", "mid", "last"):
+        raise ValueError("stan_args freeze_rule must be bar, mid, or last")
 
 
 def build_parametric_model(
@@ -86,6 +120,7 @@ def build_parametric_model(
         stan_args = StanArgs(**known)
 
     is_binary = family == "binomial"
+    _validate_stan_args(stan_args)
     prior = (stan_args.prior if stan_args.prior is not None
              else priors_mod.default_prior_coef())
     prior_aux = (stan_args.prior_aux if stan_args.prior_aux is not None

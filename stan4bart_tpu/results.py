@@ -477,7 +477,11 @@ class Stan4bartFit:
     def trees(self, include_warmup: bool = False) -> dict:
         """Flattened tree ensemble draws as columns chain/sample/tree/n/var/
         value (the reference's extract(fit, "trees") via dbarts
-        FlattenedTrees; init.cpp:577-671).  Nodes appear in preorder; ``var``
+        FlattenedTrees; init.cpp:577-671).  Nodes appear in depth-first
+        preorder with the left (condition-true) child first — the same
+        order dbarts' recursive flattener emits; the reference shifts
+        ``var``/``tree`` to 1-based for R (init.cpp:649-653) while this
+        build keeps 0-based indices with -1 leaves.  ``var``
         is the 0-based split variable for internal nodes and -1 for leaves;
         ``value`` is the split cut value or the leaf value; ``n`` is the
         training-observation count in the node."""
