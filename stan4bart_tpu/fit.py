@@ -194,6 +194,8 @@ def stan4bart(
     test=None,
     treatment: str | None = None,
     family: str | None = None,
+    subset=None,
+    offset_test=None,
     iter: int = 2000,
     warmup: int | None = None,
     skip=None,
@@ -207,6 +209,7 @@ def stan4bart(
     bart_args: dict | None = None,
     offset=None,
     weights=None,
+    refresh: int | None = None,
     offset_type: str = "default",
     na_action: str = "omit",
     chunk_size: int | None = None,
@@ -261,6 +264,21 @@ def stan4bart(
     else:
         skip_bart = skip_stan = int(skip)
 
+    if subset is not None:
+        # row subsetting before any frame building (the reference's
+        # 'subset' formal, stan4bart.R:4)
+        subset = np.asarray(subset)
+        if subset.dtype == bool:
+            subset = np.flatnonzero(subset)
+        data = {k: np.asarray(v)[subset] for k, v in (
+            data.items() if isinstance(data, dict)
+            else {c: data[c] for c in data.columns}.items()
+        )}
+        if weights is not None:
+            weights = np.asarray(weights)[subset]
+        if offset is not None:
+            offset = np.asarray(offset)[subset]
+
     mf = build_model_frame(formula, data, weights=weights, offset=offset,
                            na_action=na_action)
     y = np.asarray(mf.y)
@@ -293,6 +311,10 @@ def stan4bart(
         test_frame = mf.build_test_frame(cols)
     elif test is not None:
         test_frame = mf.build_test_frame(test)
+    if test_frame is not None and offset_test is not None:
+        # the reference's offset_test formal REPLACES the test offset
+        # (stan4bart.R:108: result$test$offset <- offset_test)
+        test_frame.offset = np.asarray(offset_test, dtype=np.float64)
 
     pm, resolved_stan_args, assemble_info = build_parametric_model(
         mf, family, stan_args, dtype=dtype
@@ -369,6 +391,12 @@ def stan4bart(
         cb = lambda d: jnp.zeros((), dtype)  # noqa: E731 — store nothing
     else:
         cb = None
+
+    # the reference's refresh formal (progress every `refresh` iterations,
+    # stan4bart.R:18, init.cpp:753-754): printing requires host-driven
+    # chunked execution, so refresh implies chunk_size when verbose > 0
+    if refresh is not None and chunk_size is None and verbose > 0:
+        chunk_size = max(int(refresh), 1)
 
     import time as _time
 

@@ -819,6 +819,35 @@ class Stan4bartFit:
         print(f"divergences: {s['divergences']}  "
               f"mean treedepth: {s['mean_treedepth']:.1f}")
 
+    # -- per-component accessors (formula/terms/model.frame S3 methods,
+    # lme4_functions.R:1403-1482)
+
+    @property
+    def formula(self) -> str:
+        return self.mf.parsed.raw
+
+    def terms(self, component: str = "fixed") -> list:
+        """Term strings of one model component (fixed | bart | random)."""
+        p = self.mf.parsed
+        if component == "fixed":
+            return list(p.fixed_terms)
+        if component == "bart":
+            return list(p.bart_terms)
+        if component == "random":
+            return [t.raw for t in p.random_terms]
+        raise ValueError("component must be fixed, bart, or random")
+
+    def model_frame(self, component: str = "fixed"):
+        """Design data of one component: (matrix, column names) for
+        fixed/bart, the ReTermData list for random."""
+        if component == "fixed":
+            return np.asarray(self.mf.X), list(self.mf.X_names)
+        if component == "bart":
+            return np.asarray(self.mf.bart_X), list(self.mf.bart_names)
+        if component == "random":
+            return self.mf.re_terms
+        raise ValueError("component must be fixed, bart, or random")
+
     def __repr__(self):
         post = self.iterations - self.warmup
         return (

@@ -189,3 +189,40 @@ def test_weights():
     sd_hi = noise[:50].std()
     sd_lo = noise[50:].std()
     assert sd_lo / sd_hi > 1.5  # ~2 expected
+
+
+def test_subset_offset_test_accessors():
+    """subset/offset_test formals + per-component accessors
+    (stan4bart.R:4,11,108; lme4_functions.R:1403-1482)."""
+    df = _small_df(120)
+    sub = np.arange(100)
+    fit = s4b.stan4bart("y ~ bart(X1 + X2) + X4", df, subset=sub,
+                        chains=1, warmup=15, iter=40, seed=2, verbose=-1,
+                        bart_args={"n.trees": 4})
+    assert fit.mf.N == 100
+    # boolean mask form
+    mask = np.zeros(120, dtype=bool)
+    mask[:90] = True
+    fit_b = s4b.stan4bart("y ~ bart(X1 + X2) + X4", df, subset=mask,
+                          chains=1, warmup=15, iter=40, seed=2, verbose=-1,
+                          bart_args={"n.trees": 4})
+    assert fit_b.mf.N == 90
+    # offset_test replaces the test offset (stan4bart.R:108)
+    test = {k: np.asarray(v)[:20] for k, v in df.items()}
+    off = np.full(20, 7.0)
+    f1 = s4b.stan4bart("y ~ bart(X1 + X2) + X4", df, test=test,
+                       offset_test=off, chains=1, warmup=15, iter=40,
+                       seed=2, verbose=-1, bart_args={"n.trees": 4})
+    f0 = s4b.stan4bart("y ~ bart(X1 + X2) + X4", df, test=test,
+                       chains=1, warmup=15, iter=40, seed=2, verbose=-1,
+                       bart_args={"n.trees": 4})
+    np.testing.assert_allclose(
+        f1.fitted("ev", sample="test"), f0.fitted("ev", sample="test") + 7.0,
+        atol=1e-8,
+    )
+    # accessors
+    assert "bart(" in f1.formula
+    assert f1.terms("fixed") == ["X4"]
+    assert f1.terms("bart") == ["X1", "X2"]
+    X, names = f1.model_frame("fixed")
+    assert X.shape[1] == len(names) == 1
