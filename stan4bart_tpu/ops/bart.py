@@ -60,10 +60,6 @@ class BartConfig(NamedTuple):
     # bart_args k = chi(df, scale) like the reference (stan4bart.R:202-210).
     k_df: float = 0.0
     k_scale: float = float("inf")
-    # fuse the per-tree proposal statistics into one Pallas VMEM pass
-    # (ops/bart_pallas.py); interpret-mode on non-TPU backends
-    use_pallas: bool = False
-
     @property
     def max_nodes(self) -> int:
         return 2 ** (self.max_depth + 1) - 1
@@ -334,25 +330,23 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     is_lft = leaf_idx == lft
     members = jnp.where(do_grow, leaf_idx == eta, is_lft | (leaf_idx == rgt))
 
-    if cfg.use_pallas and count_weights is None:
-        from stan4bart_tpu.ops.bart_pallas import proposal_stats
+    # NOTE on Pallas: a fused-stats kernel for these six masked sums was
+    # built and measured NEUTRAL on-chip in round 1 (BENCH_NOTES negative
+    # results) — at the 64-chain headline the per-kernel launch overhead
+    # is amortized across the vmapped chain batch (launch count is
+    # independent of the batch), so XLA's fusions already sit at the
+    # bandwidth floor here; the kernel was removed rather than shipped
+    # dead (round-1 verdict: win or delete).
+    def masked_stats(mask):
+        cw = (mask.astype(dtype) if count_weights is None
+              else jnp.where(mask, count_weights, 0.0))
+        n = jnp.sum(cw)
+        s = jnp.sum(jnp.where(mask, resid, 0.0))
+        return n, s
 
-        n_all, s_all, n_ln, s_ln, n_lo, s_lo = proposal_stats(
-            resid, leaf_idx, rank_v.astype(jnp.int32), eta, lft, rgt,
-            c_new, do_grow.astype(jnp.int32),
-            interpret=jax.default_backend() != "tpu",
-        )
-    else:
-        def masked_stats(mask):
-            cw = (mask.astype(dtype) if count_weights is None
-                  else jnp.where(mask, count_weights, 0.0))
-            n = jnp.sum(cw)
-            s = jnp.sum(jnp.where(mask, resid, 0.0))
-            return n, s
-
-        n_all, s_all = masked_stats(members)
-        n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
-        n_lo, s_lo = masked_stats(is_lft)                  # current left
+    n_all, s_all = masked_stats(members)
+    n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
+    n_lo, s_lo = masked_stats(is_lft)                  # current left
     n_rn, s_rn = n_all - n_ln, s_all - s_ln
     n_ro, s_ro = n_all - n_lo, s_all - s_lo
 
