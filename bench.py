@@ -42,9 +42,26 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "200"))
 # bar lags the moving Gibbs conditional (sampling accept 0.90 vs target
 # 0.8 measured in round 1); BENCH_FREEZE selects bar/mid/last for A-B runs
 FREEZE = os.environ.get("BENCH_FREEZE", "mid")
+# NUTS treedepth cap: under vmap the per-iteration cost is the MAX
+# trajectory over the chain batch (padded while_loop), so the cap — not
+# the mean leapfrog count — sets the NUTS share of iteration time
+MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "10"))
+# opt-in exact sigma conditional Gibbs kernel (decouples sigma mixing from
+# NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
+SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
+# cross-chain pooled NUTS adaptation (pmean of the DA accept signal +
+# window-end metric over the 64-chain axis; BENCH_POOLED=1 for A/B runs)
+POOLED = os.environ.get("BENCH_POOLED", "0") == "1"
 CHUNK = 25           # sampling iterations per compiled call
-N_CHUNKS = 4         # timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS)
+# timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS); BENCH_CHUNKS
+# extends the ESS measurement window for A/B runs
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "4"))
 NUM_TREES = 75
+# Gibbs thinning (reference skip semantics: extra NUTS transitions / BART
+# sweeps per stored draw — reduces per-draw autocorrelation at per-draw
+# cost; draws/s headline counts STORED draws)
+SKIP_STAN = int(os.environ.get("BENCH_SKIP_STAN", "1"))
+SKIP_BART = int(os.environ.get("BENCH_SKIP_BART", "1"))
 
 
 def main():
@@ -85,7 +102,10 @@ def main():
     prog = GibbsProgram(
         pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
-        nuts_cfg=NutsConfig(freeze_rule=FREEZE),
+        skip_stan=SKIP_STAN, skip_bart=SKIP_BART,
+        nuts_cfg=NutsConfig(freeze_rule=FREEZE, max_treedepth=MAXDEPTH,
+                            pooled_axis="chains" if POOLED else None),
+        sigma_gibbs=SIGMA_GIBBS,
     )
 
     # NOTE: the axon tunnel kills single device executions longer than
@@ -111,9 +131,10 @@ def main():
         return jax.lax.scan(body, state, jnp.arange(CHUNK))
 
     keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
-    init_fn = jax.jit(jax.vmap(prog.init_state))
-    warm_fn = jax.jit(jax.vmap(warmup_chunk, in_axes=(0, None)))
-    sample_fn = jax.jit(jax.vmap(sample))
+    init_fn = jax.jit(jax.vmap(prog.init_state, axis_name="chains"))
+    warm_fn = jax.jit(jax.vmap(warmup_chunk, in_axes=(0, None),
+                               axis_name="chains"))
+    sample_fn = jax.jit(jax.vmap(sample, axis_name="chains"))
 
     def with_retry(fn, *args, tries=3, label=""):
         for attempt in range(tries):
