@@ -37,25 +37,34 @@ N = 10_000
 # 221 draws/s, 64 chains 377 on one v5e chip); 64 is the committed headline
 # config, override with BENCH_CHAINS
 CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "200"))
+# warmup 400: at 200 the 64-chain ensemble had not converged and the DA
+# stepsize undershot 2x (chip A/B, BENCH_NOTES round-2 part 2)
+WARMUP = int(os.environ.get("BENCH_WARMUP", "400"))
 # NUTS disengage stepsize rule (NutsConfig.freeze_rule): the dual-averaged
 # bar lags the moving Gibbs conditional (sampling accept 0.90 vs target
 # 0.8 measured in round 1); BENCH_FREEZE selects bar/mid/last for A-B runs
 FREEZE = os.environ.get("BENCH_FREEZE", "mid")
 # NUTS treedepth cap: under vmap the per-iteration cost is the MAX
 # trajectory over the chain batch (padded while_loop), so the cap — not
-# the mean leapfrog count — sets the NUTS share of iteration time
-MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "10"))
+# the mean leapfrog count — sets the NUTS share of iteration time.
+# 8 measured +52% draws/s and +50% ESS(lp)/s vs 10 at mean depth ~7.4
+# (chip A/B, BENCH_NOTES round-2 part 2)
+MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "8"))
 # opt-in exact sigma conditional Gibbs kernel (decouples sigma mixing from
 # NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
 SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
-# cross-chain pooled NUTS adaptation (pmean of the DA accept signal +
-# window-end metric over the 64-chain axis; BENCH_POOLED=1 for A/B runs)
-POOLED = os.environ.get("BENCH_POOLED", "0") == "1"
+# cross-chain pooled NUTS adaptation over the 64-chain axis:
+# BENCH_POOLED=1/metric (window-end metric only), stepsize, or both.
+# Accept-signal pooling measured harmful (NutsConfig.pooled_parts note).
+_pooled_env = os.environ.get("BENCH_POOLED", "0")
+POOLED = _pooled_env != "0"
+POOLED_PARTS = "metric" if _pooled_env == "1" else _pooled_env
 CHUNK = 25           # sampling iterations per compiled call
-# timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS); BENCH_CHUNKS
-# extends the ESS measurement window for A/B runs
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "4"))
+# timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS).  12 chunks =
+# 300 draws/chain: lp's integrated autocorrelation time is ~370 draws,
+# and the old 100-draw window inflated measured ESS 2-3x
+# (BENCH_NOTES round-2 part 2)
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "12"))
 NUM_TREES = 75
 # Gibbs thinning (reference skip semantics: extra NUTS transitions / BART
 # sweeps per stored draw — reduces per-draw autocorrelation at per-draw
@@ -104,7 +113,9 @@ def main():
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
         skip_stan=SKIP_STAN, skip_bart=SKIP_BART,
         nuts_cfg=NutsConfig(freeze_rule=FREEZE, max_treedepth=MAXDEPTH,
-                            pooled_axis="chains" if POOLED else None),
+                            pooled_axis="chains" if POOLED else None,
+                            pooled_parts=POOLED_PARTS if POOLED
+                            else "metric"),
         sigma_gibbs=SIGMA_GIBBS,
     )
 

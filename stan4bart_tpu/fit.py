@@ -333,6 +333,10 @@ def stan4bart(
         t0=resolved_stan_args.adapt_t0,
         stepsize_jitter=resolved_stan_args.stepsize_jitter,
         freeze_rule=resolved_stan_args.freeze_rule,
+        pooled_axis=("chains" if resolved_stan_args.pooled_adaptation
+                     else None),
+        pooled_parts=resolved_stan_args.pooled_parts,
+        pooled_between=resolved_stan_args.pooled_between,
     )
 
     bart_offset_init, sigma_init = _init_parametric_fit(mf, family)
@@ -438,7 +442,9 @@ def stan4bart(
                 keep_warmup=True, callback=cb,
             )
 
-        run_all = jax.jit(jax.vmap(run_one))
+        # bind the chain axis name so pooled-adaptation collectives
+        # (NutsConfig.pooled_axis="chains") resolve; harmless when unused
+        run_all = jax.jit(jax.vmap(run_one, axis_name="chains"))
         final_states, draws = run_all(keys)
     draws = jax.tree_util.tree_map(np.asarray, draws)
     total_time = _time.perf_counter() - t_start

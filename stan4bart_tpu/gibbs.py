@@ -662,13 +662,17 @@ class GibbsProgram:
 
             return jax.lax.scan(body, state, jnp.arange(n))
 
-        init_fn = jax.jit(jax.vmap(init_one))
+        # axis_name binds the chain axis for pooled-adaptation collectives
+        # (NutsConfig.pooled_axis="chains"); harmless when unused
+        init_fn = jax.jit(jax.vmap(init_one, axis_name="chains"))
         warm_fn = jax.jit(jax.vmap(
             lambda s, it0, n: chunk(s, it0, n, True),
-            in_axes=(0, None, None)), static_argnums=(2,))
+            in_axes=(0, None, None), axis_name="chains"),
+            static_argnums=(2,))
         samp_fn = jax.jit(jax.vmap(
             lambda s, it0, n: chunk(s, it0, n, False),
-            in_axes=(0, None, None)), static_argnums=(2,))
+            in_axes=(0, None, None), axis_name="chains"),
+            static_argnums=(2,))
 
         states = init_fn(keys)
         pieces = []

@@ -48,6 +48,13 @@ class StanArgs:
     stepsize: float = 1.0
     stepsize_jitter: float = 0.0
     freeze_rule: str = "bar"   # NutsConfig.freeze_rule
+    # cross-chain pooled NUTS adaptation (NutsConfig.pooled_axis): the
+    # dual-averaging accept signal and window-end metric pool over the
+    # chain axis with one pmean collective — impossible in the reference's
+    # process-per-chain design (stan4bart_fit.R:495-558)
+    pooled_adaptation: bool = False
+    pooled_parts: str = "metric"   # NutsConfig.pooled_parts
+    pooled_between: bool = False   # NutsConfig.pooled_between
     # extra exact sigma conditional update per iteration (same posterior,
     # decouples sigma mixing from NUTS drift; GibbsProgram.sigma_gibbs)
     sigma_gibbs: bool = False
@@ -88,6 +95,10 @@ def _validate_stan_args(sa: StanArgs):
     check("stepsize_jitter", sa.stepsize_jitter, lo=0.0, hi=1.0)
     if sa.freeze_rule not in ("bar", "mid", "last"):
         raise ValueError("stan_args freeze_rule must be bar, mid, or last")
+    if sa.pooled_parts not in ("metric", "stepsize", "both"):
+        raise ValueError(
+            "stan_args pooled_parts must be metric, stepsize, or both"
+        )
 
 
 def build_parametric_model(

@@ -52,6 +52,32 @@ class NutsConfig(NamedTuple):
     # over the term buffer — measured sampling accept 0.90 vs target 0.8,
     # i.e. frozen ~1.5-2x too small (BENCH_NOTES round-2 target #3)
     freeze_rule: str = "bar"
+    # cross-chain pooled adaptation (TPU-native: chains are a vmapped /
+    # mesh axis, so pooling is one pmean collective).  When set to the
+    # chain axis name, the dual-averaging accept statistic and the
+    # window-end metric estimate are averaged over all chains — 64 chains
+    # give 64x the adaptation signal per window.  The reference adapts
+    # each chain independently (one process per chain,
+    # stan4bart_fit.R:495-558, so pooling was impossible there).
+    # Requires the chain batch to be vmapped with
+    # ``axis_name=cfg.pooled_axis``.
+    pooled_axis: str | None = None
+    # which adaptation signals pool: "metric" (window-end variance only,
+    # the default), "stepsize" (dual-averaging accept signal only), or
+    # "both".  Pooling the accept signal measured HARMFUL (CPU n=250
+    # 8-chain A/B: 98 divergences vs 1 unpooled): chain conditionals
+    # genuinely differ in curvature under Gibbs (each has its own BART
+    # offset), and a pooled-MEAN accept target lets hard chains diverge
+    # while easy chains compensate — per-chain dual averaging equalizes
+    # accept per chain instead.  "metric" was benign (12 divergences,
+    # posterior unbiased); "both"/"stepsize" remain for experiments.
+    pooled_parts: str = "metric"
+    # include the between-chain variance of window means in the pooled
+    # metric.  Default False: each NUTS transition targets its chain's
+    # Gibbs CONDITIONAL (its own BART offset), whose scale is the
+    # within-chain variance; the between term adds Var[conditional mean]
+    # — a marginal component that over-widens the metric.
+    pooled_between: bool = False
 
 
 class DualAveragingState(NamedTuple):
@@ -107,6 +133,40 @@ def welford_variance(w: WelfordState):
     (stan/mcmc/var_adaptation.hpp semantics)."""
     var = w.m2 / (w.count - 1.0)
     return (w.count / (w.count + 5.0)) * var + 1e-3 * (5.0 / (w.count + 5.0))
+
+
+def pooled_welford_variance(w: WelfordState, axis_name: str,
+                            include_between: bool = False):
+    """Cross-chain pooled metric estimate (NutsConfig.pooled_axis).
+
+    Within-chain variances are averaged over the chain axis, and Stan's
+    count-based regularization (var_adaptation.hpp) uses the POOLED sample
+    count n*chains — with 64 chains the estimate is ~64x less noisy, so it
+    is shrunk correspondingly less toward the 1e-3 unit floor.  The
+    between-chain variance of window means is opt-in: each transition
+    targets its chain's own Gibbs conditional, and the between term
+    estimates Var[conditional mean] across chains — a marginal component
+    on top of the conditional scale the metric should match.
+    """
+    n = w.count
+    c = jax.lax.psum(jnp.ones_like(n), axis_name)
+    # geometric mean of per-chain variances: an arithmetic pmean is
+    # dominated by outlier chains whose window mean is still DRIFTING
+    # (drift inflates within-window m2), over-widening the metric for
+    # every chain — measured on-chip as a 6x stepsize collapse at the
+    # n=10k headline; the log-space mean is robust to those chains
+    var = jnp.exp(jax.lax.pmean(
+        jnp.log(jnp.maximum(w.m2 / (n - 1.0), 1e-30)), axis_name
+    ))
+    if include_between:
+        gm = jax.lax.pmean(w.mean, axis_name)
+        var = var + jax.lax.pmean((w.mean - gm) ** 2, axis_name) * (
+            c / jnp.maximum(c - 1.0, 1.0)
+        )
+    pooled_n = n * c
+    return (pooled_n / (pooled_n + 5.0)) * var + 1e-3 * (
+        5.0 / (pooled_n + 5.0)
+    )
 
 
 def da_init(stepsize, dtype):
@@ -520,9 +580,16 @@ def nuts_transition(
     )
 
     # adaptation ------------------------------------------------------------
+    # pooled adaptation: chains share one accept signal (pmean over the
+    # chain axis), collapsing dual-averaging noise by ~1/sqrt(chains)
+    accept_for_da = (
+        accept_stat
+        if cfg.pooled_axis is None or cfg.pooled_parts == "metric"
+        else jax.lax.pmean(accept_stat, cfg.pooled_axis)
+    )
     da = jax.lax.cond(
         adapt_stepsize,
-        lambda d: da_update(d, accept_stat, cfg),
+        lambda d: da_update(d, accept_for_da, cfg),
         lambda d: d,
         state.da,
     )
@@ -534,7 +601,12 @@ def nuts_transition(
 
     def on_window_end(args):
         da, welford, inv_mass = args
-        new_inv_mass = welford_variance(welford)
+        if cfg.pooled_axis is None or cfg.pooled_parts == "stepsize":
+            new_inv_mass = welford_variance(welford)
+        else:
+            new_inv_mass = pooled_welford_variance(
+                welford, cfg.pooled_axis, cfg.pooled_between
+            )
         if cfg.window_end_research:
             # re-init stepsize search then restart dual averaging (Stan
             # adapt_diag_e_nuts window-end behavior)
@@ -544,6 +616,9 @@ def nuts_transition(
             )
         else:
             eps = jnp.exp(da.log_eps)
+        if cfg.pooled_axis is not None and cfg.pooled_parts != "metric":
+            # geometric-mean consensus restart point across chains
+            eps = jnp.exp(jax.lax.pmean(jnp.log(eps), cfg.pooled_axis))
         new_da = DualAveragingState(
             log_eps=jnp.log(eps),
             log_eps_bar=da.log_eps_bar,

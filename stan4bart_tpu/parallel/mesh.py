@@ -59,7 +59,10 @@ def run_chains_sharded(prog, keys, mesh: Mesh | None = None, **run_kwargs):
     def run_one(key):
         return prog.run_chain(key, **run_kwargs)
 
-    run = jax.jit(jax.vmap(run_one))
+    # the vmap axis name makes pooled-adaptation pmeans
+    # (NutsConfig.pooled_axis="chains") global over ALL chains; GSPMD
+    # lowers them to cross-device collectives over the mesh
+    run = jax.jit(jax.vmap(run_one, axis_name="chains"))
     with mesh:
         return run(keys)
 
@@ -110,7 +113,7 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
         def step_all(state, it):
             state, draw = jax.vmap(
                 lambda s, i: prog.step(s, i, is_warmup),
-                in_axes=(0, None),
+                in_axes=(0, None), axis_name="chains",
             )(state, it)
             state = jax.lax.with_sharding_constraint(state, pspec)
             return state, draw

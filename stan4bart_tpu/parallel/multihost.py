@@ -122,7 +122,9 @@ def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
     def run_one(key):
         return prog.run_chain(key, **run_kwargs)
 
-    run = jax.jit(jax.vmap(run_one))
+    # vmap axis name: pooled-adaptation pmeans (NutsConfig.pooled_axis)
+    # span ALL chains globally — GSPMD lowers them to ICI/DCN collectives
+    run = jax.jit(jax.vmap(run_one, axis_name="chains"))
     with mesh:
         final_states, draws = run(global_keys)
     if gather_results:

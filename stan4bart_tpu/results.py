@@ -724,7 +724,9 @@ class Stan4bartFit:
 
             return jax.lax.scan(body, state, jnp.arange(int(iterations)))
 
-        states, new_draws = jax.jit(jax.vmap(more))(self.final_states)
+        states, new_draws = jax.jit(
+            jax.vmap(more, axis_name="chains")
+        )(self.final_states)
         new_draws = jax.tree_util.tree_map(np.asarray, new_draws)
         if self.qr_unrotated:
             # stored draws are already in original coordinates; bring the
