@@ -77,6 +77,13 @@ class BartState(NamedTuple):
     allfit: jnp.ndarray      # (N,) float: sum of tree fits (no offset)
     k: jnp.ndarray           # scalar: node-prior k
     sigma_mu: jnp.ndarray    # scalar: current leaf prior sd
+    # (T, N) cached per-tree fitted values (= leaf_value[leaf_idx] of each
+    # tree).  Carrying this across sweeps removes one full (N, MAXN)
+    # one-hot build + MXU read per tree step — the sweep's dominant
+    # memory traffic (BENCH_NOTES round-2 phase profile: the BART sweep
+    # is 56% of iteration time).  Invariant: updated whenever leaf_value /
+    # leaf_idx change (only inside bart_sweep).
+    tree_fit: jnp.ndarray
 
 
 def make_cut_grid(X: np.ndarray, n_cuts: int) -> np.ndarray:
@@ -118,6 +125,7 @@ def bart_init(cfg: BartConfig, n_obs: int, dtype=jnp.float64) -> BartState:
             cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)),
             dtype=dtype,
         ),
+        tree_fit=jnp.zeros((T, n_obs), dtype=dtype),
     )
 
 
@@ -174,6 +182,7 @@ def sample_trees_from_prior(cfg: BartConfig, rng, ranks, split_probs,
         sigma_mu=jnp.asarray(
             cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)), dtype
         ),
+        tree_fit=jnp.zeros((T, n_obs), dtype=dtype),
     )
 
 
@@ -435,11 +444,11 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
 
     def per_tree(carry, inputs):
         allfit, rng = carry
-        feature_j, cut_j, leaf_value_j, leaf_idx_j = inputs
+        feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j = inputs
         rng, rng_move, rng_mu = jax.random.split(rng, 3)
 
-        onehot = node_onehot(leaf_idx_j, M, dtype)
-        fit_j = table_lookup(onehot, leaf_value_j)
+        # fit_j is the cached leaf_value[leaf_idx] of this tree (the
+        # BartState.tree_fit invariant) — no one-hot rebuild needed here
         resid = y_target - allfit + fit_j
         # weighted sufficient statistics: (sum w, sum w r) with w = 1 o.w.
         wresid = resid if w is None else w * resid
@@ -462,12 +471,16 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
 
         new_fit_j = table_lookup(onehot_new, leaf_value_j)
         allfit = allfit + new_fit_j - fit_j
-        return (allfit, rng), (feature_j, cut_j, leaf_value_j, leaf_idx_j)
+        return (allfit, rng), (feature_j, cut_j, leaf_value_j, leaf_idx_j,
+                               new_fit_j)
 
-    (allfit, rng), (feature, cut, leaf_value, leaf_idx) = jax.lax.scan(
-        per_tree,
-        (state.allfit, rng),
-        (state.feature, state.cut, state.leaf_value, state.leaf_idx),
+    (allfit, rng), (feature, cut, leaf_value, leaf_idx, tree_fit) = (
+        jax.lax.scan(
+            per_tree,
+            (state.allfit, rng),
+            (state.feature, state.cut, state.leaf_value, state.leaf_idx,
+             state.tree_fit),
+        )
     )
 
     # optional chi(df, scale) hyperprior draw for k (dbarts normal-prior
@@ -492,6 +505,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     new_state = BartState(
         feature=feature, cut=cut, leaf_value=leaf_value,
         leaf_idx=leaf_idx, allfit=allfit, k=k, sigma_mu=sigma_mu,
+        tree_fit=tree_fit,
     )
     varcount = count_variable_use(cfg, feature, split_probs.shape[0])
     return new_state, varcount
