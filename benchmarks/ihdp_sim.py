@@ -133,6 +133,13 @@ def run_synthetic(n_reps: int, iters: int):
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        # pin to CPU so long replication sweeps don't contend with chip
+        # benches (env vars are latched by sitecustomize; the config
+        # update is the reliable switch)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_reps = int(args[0]) if args else 50
     iters = int(args[1]) if len(args) > 1 else 1000
