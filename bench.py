@@ -66,9 +66,6 @@ CHUNK = 25           # sampling iterations per compiled call
 # (BENCH_NOTES round-2 part 2)
 N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "12"))
 NUM_TREES = 75
-# Pallas leaf-stats/lookup kernels: one-hot stays VMEM-only
-# (ops/bart_pallas.py); BENCH_PALLAS=0 disables for A/B
-PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 # Gibbs thinning (reference skip semantics: extra NUTS transitions / BART
 # sweeps per stored draw — reduces per-draw autocorrelation at per-draw
 # cost; draws/s headline counts STORED draws)
@@ -112,8 +109,7 @@ def main():
     from stan4bart_tpu.ops.nuts import NutsConfig
 
     prog = GibbsProgram(
-        pm, BartConfig(num_trees=NUM_TREES, use_pallas=PALLAS),
-        mf.y, mf.bart_X,
+        pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
         skip_stan=SKIP_STAN, skip_bart=SKIP_BART,
         nuts_cfg=NutsConfig(freeze_rule=FREEZE, max_treedepth=MAXDEPTH,

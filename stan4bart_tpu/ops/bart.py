@@ -60,13 +60,6 @@ class BartConfig(NamedTuple):
     # bart_args k = chi(df, scale) like the reference (stan4bart.R:202-210).
     k_df: float = 0.0
     k_scale: float = float("inf")
-    # Pallas leaf-statistics/lookup kernels (ops/bart_pallas.py): keep
-    # the (N, max_nodes) one-hot VMEM-only instead of materializing it
-    # in HBM per tree step.  f32-only, max_nodes <= 128 (max_depth <= 6);
-    # GibbsProgram auto-enables on the TPU backend.  pallas_interpret
-    # runs the kernels in interpreter mode (CPU tests).
-    use_pallas: bool = False
-    pallas_interpret: bool = False
     @property
     def max_nodes(self) -> int:
         return 2 ** (self.max_depth + 1) - 1
@@ -446,8 +439,6 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     p_split = jnp.asarray(split_prob_by_depth(cfg), dtype=dtype)
     split_probs = jnp.asarray(split_probs, dtype=dtype)
     M = cfg.max_nodes
-    # Pallas path: f32-only, one-hot lanes cap at 128 nodes
-    use_pallas = bool(cfg.use_pallas) and M <= 128 and dtype == jnp.float32
 
     w = None if weights is None else jnp.asarray(weights, dtype)
 
@@ -468,35 +459,23 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
             count_weights=w,
         )
 
-        # conjugate leaf-mean draws for all leaves of this tree
-        if use_pallas:
-            from stan4bart_tpu.ops.bart_pallas import (
-                leaf_stats_pallas,
-                table_lookup_pallas,
-            )
-
-            counts, sums = leaf_stats_pallas(
-                leaf_idx_j, wresid, M, count_weights=w,
-                interpret=cfg.pallas_interpret,
-            )
-            counts = counts.astype(dtype)
-            sums = sums.astype(dtype)
-        else:
-            onehot_new = node_onehot(leaf_idx_j, M, dtype)
-            counts, sums = leaf_stats(leaf_idx_j, wresid, M,
-                                      count_weights=w, onehot=onehot_new)
+        # conjugate leaf-mean draws for all leaves of this tree.
+        # NOTE: a Pallas VMEM-only kernel pair for these two one-hot
+        # consumers was built and measured 5x SLOWER on-chip (149.7 vs
+        # 764.4 draws/s at the 64-chain headline, round 2): XLA fuses the
+        # one-hot generation into the MXU matmul (it is never
+        # materialized in HBM), while a (TILE_N, 1) column layout wastes
+        # 127/128 VPU lanes.  Keep the one-hot matmul formulation.
+        onehot_new = node_onehot(leaf_idx_j, M, dtype)
+        counts, sums = leaf_stats(leaf_idx_j, wresid, M,
+                                  count_weights=w, onehot=onehot_new)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         noise = jax.random.normal(rng_mu, (M,), dtype)
         mu = post_mean + jnp.sqrt(post_var) * noise
         leaf_value_j = jnp.where(feature_j == LEAF, mu, 0.0)
 
-        if use_pallas:
-            new_fit_j = table_lookup_pallas(
-                leaf_idx_j, leaf_value_j, interpret=cfg.pallas_interpret
-            ).astype(dtype)
-        else:
-            new_fit_j = table_lookup(onehot_new, leaf_value_j)
+        new_fit_j = table_lookup(onehot_new, leaf_value_j)
         allfit = allfit + new_fit_j - fit_j
         return (allfit, rng), (feature_j, cut_j, leaf_value_j, leaf_idx_j,
                                new_fit_j)
