@@ -71,6 +71,9 @@ NUM_TREES = 75
 # cost; draws/s headline counts STORED draws)
 SKIP_STAN = int(os.environ.get("BENCH_SKIP_STAN", "1"))
 SKIP_BART = int(os.environ.get("BENCH_SKIP_BART", "1"))
+# fused whole-sweep Pallas kernel for the BART phase (the sweep is 80%
+# of iteration wall clock as a 75-step XLA scan; ops/bart_sweep_kernel)
+SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "0") == "1"
 
 
 def main():
@@ -117,6 +120,7 @@ def main():
                             pooled_parts=POOLED_PARTS if POOLED
                             else "metric"),
         sigma_gibbs=SIGMA_GIBBS,
+        sweep_kernel=SWEEP_KERNEL,
     )
 
     # NOTE: the axon tunnel kills single device executions longer than

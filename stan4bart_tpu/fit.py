@@ -106,6 +106,7 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     split_probs = pop("split.probs", "split_probs")
     k = pop("k")
     keep_trees = bool(pop("keepTrees", "keep_trees", default=False))
+    sweep_kernel = bool(pop("sweep_kernel", default=False))
 
     # k: numeric -> fixed; chi spec (dict or ("chi", df, scale)) -> sampled;
     # default = fixed k = 2 (see BartConfig.k_df note)
@@ -129,7 +130,7 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
         node_scale=3.0 if is_binary else 0.5,
         k_init=k_init, k_df=k_df, k_scale=k_scale,
     )
-    return cfg, split_probs, keep_trees
+    return cfg, split_probs, keep_trees, sweep_kernel
 
 
 def _print_initial_summary(mf, family, bart_cfg, warmup, iterations, chains,
@@ -319,8 +320,8 @@ def stan4bart(
     pm, resolved_stan_args, assemble_info = build_parametric_model(
         mf, family, stan_args, dtype=dtype
     )
-    bart_cfg, split_probs, keep_trees_flag = _resolve_bart_args(
-        bart_args, is_binary
+    bart_cfg, split_probs, keep_trees_flag, sweep_kernel = (
+        _resolve_bart_args(bart_args, is_binary)
     )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
         keep_trees_flag = True
@@ -359,6 +360,7 @@ def stan4bart(
         sigma_gibbs=resolved_stan_args.sigma_gibbs,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
+        sweep_kernel=sweep_kernel,
         dtype=dtype,
     )
 

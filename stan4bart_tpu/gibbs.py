@@ -133,6 +133,11 @@ class GibbsProgram:
         vi_steps: int = 5,
         vi_mc: int = 4,
         vi_eta: float = 0.5,
+        # fused whole-sweep Pallas kernel for the BART phase (one kernel
+        # launch per sweep instead of a 75-step scan; see
+        # ops/bart_sweep_kernel.py).  Requires float32, unweighted
+        # likelihoods, max_depth <= 6.  Interpreted (slow, exact) off-TPU.
+        sweep_kernel: bool = False,
         dtype=jnp.float64,
     ):
         self.keep_trees = bool(keep_trees)
@@ -185,6 +190,25 @@ class GibbsProgram:
             if weights is not None and len(np.asarray(weights)) else None
         )
         self.offset_type = OFFSET_TYPES.index(offset_type)
+
+        self.sweep_consts = None
+        if sweep_kernel:
+            if self.weights is not None:
+                raise ValueError(
+                    "sweep_kernel does not support weighted likelihoods"
+                )
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("sweep_kernel requires dtype=float32")
+            from .ops.bart_sweep_kernel import make_sweep_consts
+
+            self.sweep_consts = make_sweep_consts(
+                bart_cfg, np.asarray(self.ranks),
+                np.asarray(self.split_probs),
+            )
+            # Mosaic compile on TPU; exact interpreter elsewhere
+            self.sweep_interpret = (
+                jax.default_backend() not in ("tpu", "axon")
+            )
 
         self.stepsize_init = float(stepsize_init)
         self.sigma_gibbs = bool(sigma_gibbs) and not self.is_binary
@@ -478,10 +502,18 @@ class GibbsProgram:
                 y_target = latents - bart_offset
             else:
                 y_target = self.y - bart_offset
-            bart_state, varcount = bart_ops.bart_sweep(
-                cfg, bart_state, y_target, self.ranks, self.split_probs,
-                sigma, rng_j, weights=self.weights,
-            )
+            if self.sweep_consts is not None:
+                from .ops.bart_sweep_kernel import bart_sweep_fused
+
+                bart_state, varcount = bart_sweep_fused(
+                    cfg, bart_state, y_target, self.sweep_consts, sigma,
+                    rng_j, interpret=self.sweep_interpret,
+                )
+            else:
+                bart_state, varcount = bart_ops.bart_sweep(
+                    cfg, bart_state, y_target, self.ranks,
+                    self.split_probs, sigma, rng_j, weights=self.weights,
+                )
             return bart_state, latents, varcount
 
         varcount0 = jnp.zeros(self.ranks.shape[1], dtype=jnp.int32)

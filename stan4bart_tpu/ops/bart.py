@@ -275,7 +275,7 @@ def walk_tree(feature, cut, ranks, max_depth):
 
 
 def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
-               depths, p_split, dtype, count_weights=None):
+               depths, p_split, dtype, count_weights=None, u6=None):
     """One grow/prune/change MH step for a single tree.
 
     tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns updated tree.
@@ -284,6 +284,10 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     lax.switch would execute every branch per chain anyway): one member
     mask, three masked sufficient-statistic pairs, five shared
     integrated-likelihood terms, and move-selected accept/update logic.
+
+    u6: optional (6,) pre-drawn uniforms replacing the internal draw —
+    lets the fused Pallas sweep kernel and this XLA path be compared on
+    identical randomness (see ops/bart_sweep_kernel.py).
     """
     feature, cut, leaf_idx = tree
     M = cfg.max_nodes
@@ -293,7 +297,7 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
 
     # ONE batched uniform draw supplies every proposal variate (each extra
     # RNG op is a separate ~13us kernel launch on TPU)
-    u = jax.random.uniform(rng, (6,), dtype=dtype)
+    u = jax.random.uniform(rng, (6,), dtype=dtype) if u6 is None else u6
     u_move, u_leaf, u_nog, u_var, u_cut, u_acc = (
         u[0], u[1], u[2], u[3], u[4], u[5]
     )
@@ -421,7 +425,7 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
 
 
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
-               split_probs, sigma, rng, weights=None):
+               split_probs, sigma, rng, weights=None, variates=None):
     """One full Gibbs sweep over all trees (the reference's
     ``runSamplerWithResults`` with numSamples=1, init.cpp:821-824).
 
@@ -431,6 +435,12 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     y_i ~ N(fit_i, sigma^2 / w_i), entering every sufficient statistic as
     (sum w, sum w r) exactly as dbarts' weighted sampler does
     (data.bart@weights, stan4bart_fit.R:436).  Returns (state, varcount).
+
+    variates: optional pre-drawn ``(u (T, >=6), zn (T, >=M))`` proposal
+    uniforms / leaf normals replacing the per-tree RNG — the
+    same-randomness contract shared with the fused Pallas sweep
+    (ops/bart_sweep_kernel.py), used to verify the two paths sample the
+    same forests.
     """
     dtype = state.allfit.dtype
     sigma2 = (sigma * sigma).astype(dtype)
@@ -444,8 +454,14 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
 
     def per_tree(carry, inputs):
         allfit, rng = carry
-        feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j = inputs
-        rng, rng_move, rng_mu = jax.random.split(rng, 3)
+        if variates is None:
+            feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j = inputs
+            u6_j = zn_j = None
+            rng, rng_move, rng_mu = jax.random.split(rng, 3)
+        else:
+            (feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j,
+             u6_j, zn_j) = inputs
+            rng_move = rng_mu = rng
 
         # fit_j is the cached leaf_value[leaf_idx] of this tree (the
         # BartState.tree_fit invariant) — no one-hot rebuild needed here
@@ -456,7 +472,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         feature_j, cut_j, leaf_idx_j = _tree_move(
             cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
             split_probs, sigma2, tau2, rng_move, depths, p_split, dtype,
-            count_weights=w,
+            count_weights=w, u6=u6_j,
         )
 
         # conjugate leaf-mean draws for all leaves of this tree.
@@ -471,7 +487,8 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
                                   count_weights=w, onehot=onehot_new)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
-        noise = jax.random.normal(rng_mu, (M,), dtype)
+        noise = (jax.random.normal(rng_mu, (M,), dtype)
+                 if variates is None else zn_j[:M].astype(dtype))
         mu = post_mean + jnp.sqrt(post_var) * noise
         leaf_value_j = jnp.where(feature_j == LEAF, mu, 0.0)
 
@@ -480,13 +497,14 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         return (allfit, rng), (feature_j, cut_j, leaf_value_j, leaf_idx_j,
                                new_fit_j)
 
+    scan_xs = (state.feature, state.cut, state.leaf_value, state.leaf_idx,
+               state.tree_fit)
+    if variates is not None:
+        u_all, zn_all = variates
+        scan_xs = scan_xs + (u_all[:, :6].astype(dtype),
+                             zn_all.astype(dtype))
     (allfit, rng), (feature, cut, leaf_value, leaf_idx, tree_fit) = (
-        jax.lax.scan(
-            per_tree,
-            (state.allfit, rng),
-            (state.feature, state.cut, state.leaf_value, state.leaf_idx,
-             state.tree_fit),
-        )
+        jax.lax.scan(per_tree, (state.allfit, rng), scan_xs)
     )
 
     # optional chi(df, scale) hyperprior draw for k (dbarts normal-prior

@@ -1,0 +1,477 @@
+"""Whole-sweep fused BART Gibbs kernel (Pallas/Mosaic TPU).
+
+The XLA sweep (ops/bart.py:bart_sweep) is a 75-step ``lax.scan`` whose
+per-tree body compiles to ~8-12 fused kernels; on this chip+tunnel each
+scan step carries a fixed runtime overhead that is independent of the
+vmapped chain count, and the measured cost is ~0.9 ms/tree for the whole
+64-chain batch — 66.7 of the 83.6 ms Gibbs iteration (80%;
+benchmarks/profile_phases.py, BENCH_NOTES round-2).  Per-op surgery
+never moved that number (round-1/2 negative results); the remaining
+lever named in BENCH_NOTES is whole-phase consolidation.  This module
+implements it: ONE ``pallas_call`` executes the entire sequential
+sweep — grid ``(trees,)`` per chain, batched by ``vmap`` into a
+``(chains, trees)`` grid (chains outer, trees minor: jax prepends the
+batch axis, pallas_call.py:714) — with the running residual carried in
+a VMEM scratch accumulator across the tree dimension.
+
+Statistical semantics are IDENTICAL to ops/bart.py (same CGM prior,
+restricted grow/change kernel, conjugate leaf draws; reference behavior
+at /root/reference/src/init.cpp:821-824 via dbarts): both paths consume
+the same pre-drawn uniform/normal variates, so they can be compared on
+identical randomness (tests/test_sweep_kernel.py asserts structural
+equality of the sampled forests).
+
+TPU-native design notes (the layout rules that make Mosaic happy here):
+
+* every per-observation array is a ``(1, NPAD)`` row (obs in lanes);
+  every per-node array is a ``(1, 128)`` row (heap nodes in lanes,
+  ``max_nodes`` <= 128 padded with INACTIVE);
+* NO gathers and NO dynamic slicing anywhere: heap child lookups,
+  cut-column selection, depth/prior lookups and node picks are all
+  one-hot contractions against in-kernel ``broadcasted_iota`` masks
+  (the same one-hot-matmul rule the XLA path established — gathers
+  serialize on TPU);
+* the node-membership one-hot ``M[node, obs]`` is generated ONCE per
+  tree as a (128, NPAD) compare, reduced along lanes for the leaf
+  sufficient statistics, and reused as the matmul operand for the
+  fitted-value lookup ``fit = leaf_values @ M``;
+* inclusive cumulative sums (uniform node picks) ride the MXU against a
+  constant upper-triangular matrix — Mosaic has no native lane scan;
+* all move logic is arithmetic blending over f32 0/1 masks (no
+  scalar-predicated vector selects — Mosaic lowering restriction), with
+  every ``log`` argument clamped so invalid-move branches stay finite
+  (a NaN would poison the blend);
+* scalars (tree index, sigma^2, tau^2, the six proposal uniforms) live
+  in SMEM; the tree index arrives as DATA (an ``arange`` input block)
+  rather than ``pl.program_id`` so the kernel is immune to the grid-axis
+  renumbering that vmap batching performs.
+
+Padded observations (N..NPAD) carry ``leaf_idx = 127`` — a heap slot
+that can never be a real leaf (``max_nodes`` <= 127 for ``max_depth``
+<= 6) — and residual 0, so they fall through every mask and statistic.
+
+Weighted likelihoods fall back to the XLA path (gibbs.py gates this).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bart import (
+    INACTIVE,
+    LEAF,
+    BartConfig,
+    BartState,
+    count_variable_use,
+    node_depths,
+    split_prob_by_depth,
+)
+
+NODE_PAD = 128  # heap rows padded to one full lane register
+
+
+class SweepConsts(NamedTuple):
+    """Model-static kernel operands, built once per GibbsProgram."""
+    ranks_f: jnp.ndarray   # (P, NPAD) f32 — cut ranks, obs in lanes
+    spcum: jnp.ndarray     # (1, P) f32 — split-prob inclusive cumsum
+    psplit: jnp.ndarray    # (1, 128) f32 — p_split by depth (idx = depth)
+    depths: jnp.ndarray    # (1, 128) f32 — node depth by heap index
+    n_obs: int
+    npad: int
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
+    """Precompute the static kernel operands from the model data."""
+    if cfg.max_nodes > NODE_PAD - 1:
+        raise ValueError(
+            f"fused sweep kernel supports max_depth <= 6 "
+            f"(max_nodes {cfg.max_nodes} > {NODE_PAD - 1})"
+        )
+    ranks = np.asarray(ranks)
+    n, p = ranks.shape
+    npad = _ceil_to(max(n, 128), 128)
+    ranks_f = np.zeros((p, npad), dtype=np.float32)
+    ranks_f[:, :n] = ranks.T.astype(np.float32)
+    spcum = np.cumsum(np.asarray(split_probs, np.float32))[None, :]
+    psplit = np.zeros((1, NODE_PAD), dtype=np.float32)
+    ps = split_prob_by_depth(cfg)
+    psplit[0, : ps.shape[0]] = ps
+    depths = np.zeros((1, NODE_PAD), dtype=np.float32)
+    depths[0, : cfg.max_nodes] = node_depths(cfg)
+    depths[0, cfg.max_nodes:] = cfg.max_depth + 1
+    return SweepConsts(
+        ranks_f=jnp.asarray(ranks_f), spcum=jnp.asarray(spcum),
+        psplit=jnp.asarray(psplit), depths=jnp.asarray(depths),
+        n_obs=n, npad=npad,
+    )
+
+
+def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
+    f32 = jnp.float32
+    n_cuts = float(cfg.n_cuts)
+    p_grow = float(cfg.p_grow)
+    p_prune = float(cfg.p_prune)
+    max_depth = float(cfg.max_depth)
+    eps = 1e-12
+
+    def kernel(scal_ref, u_ref,
+               feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
+               resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
+               zn_ref,
+               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+               resid_s):
+        # user-grid axis 0 = trees (Mosaic's user_grid_indices excludes
+        # vmap-batched grid dims, so this is vmap-safe)
+        t = pl.program_id(0)
+
+        # reset the carried full residual at the first tree of each chain
+        @pl.when(t == 0)
+        def _():
+            resid_s[:, :] = resid0_ref[:, :]
+
+        sigma2 = scal_ref[0, 0]
+        tau2 = scal_ref[0, 1]
+        u_move = u_ref[t, 0]
+        u_leaf = u_ref[t, 1]
+        u_nog = u_ref[t, 2]
+        u_var = u_ref[t, 3]
+        u_cut = u_ref[t, 4]
+        u_acc = u_ref[t, 5]
+
+        R = resid_s[:, :]                       # (1, NPAD) full residual
+        old_fit = tfit_ref[0]                   # (1, NPAD) this tree's fit
+        r = R + old_fit                         # partial residual
+
+        featf = feature_ref[0].astype(f32)      # (1, 128)
+        cutf = cut_ref[0].astype(f32)
+        lidx = lidx_ref[0]                      # (1, NPAD) int32
+        lidx_f = lidx.astype(f32)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 1)
+        iota_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, NODE_PAD), 1).astype(f32)
+
+        # heap child values via one-hot contraction (no gathers on TPU):
+        # GL[j, i] = [j == 2i+1]  =>  (featf @ GL)[i] = feature[2i+1]
+        GL = (iota_r == 2 * iota_c + 1).astype(f32)
+        GR = (iota_r == 2 * iota_c + 2).astype(f32)
+        TRI = (iota_r <= iota_c).astype(f32)     # inclusive-cumsum operand
+        fl = jnp.dot(featf, GL, preferred_element_type=f32)
+        fr = jnp.dot(featf, GR, preferred_element_type=f32)
+
+        is_leaf = (featf == float(LEAF)).astype(f32)
+        is_internal = (featf >= 0.0).astype(f32)
+        is_nog = is_internal * (fl == float(LEAF)).astype(f32) \
+            * (fr == float(LEAF)).astype(f32)
+        n_leaf = jnp.sum(is_leaf, axis=1, keepdims=True)     # (1,1)
+        n_nog = jnp.sum(is_nog, axis=1, keepdims=True)
+
+        gf = jnp.where(u_move < p_grow, 1.0, 0.0)            # scalar 0/1
+        pf = jnp.where(
+            (u_move >= p_grow) & (u_move < p_grow + p_prune), 1.0, 0.0)
+        cf = 1.0 - gf - pf
+
+        # proposal draws ------------------------------------------------
+        spcum = spcum_ref[:, :]                              # (1, P)
+        v_new = jnp.minimum(
+            jnp.sum((spcum <= u_var).astype(f32), axis=1, keepdims=True),
+            float(p_feat - 1),
+        )                                                    # (1,1)
+        c_new = jnp.minimum(jnp.floor(u_cut * n_cuts), n_cuts - 1.0)
+        iota_p = jax.lax.broadcasted_iota(
+            jnp.int32, (1, p_feat), 1).astype(f32)
+        vone = (iota_p == v_new).astype(f32)                 # (1, P)
+        rank_v = jnp.dot(vone, ranks_ref[:, :],
+                         preferred_element_type=f32)         # (1, NPAD)
+        go_left_new = (rank_v <= c_new).astype(f32)
+        log_u = jnp.log(jnp.maximum(u_acc, 1e-30))
+
+        # node picks: uniform over marked entries via MXU cumsum --------
+        def pick(mask_f, count, u):
+            target = jnp.minimum(jnp.floor(u * count),
+                                 jnp.maximum(count - 1.0, 0.0))
+            csum = jnp.dot(mask_f, TRI, preferred_element_type=f32)
+            return jnp.sum((csum <= target).astype(f32), axis=1,
+                           keepdims=True)                    # (1,1)
+
+        eta_grow = pick(is_leaf, n_leaf, u_leaf)
+        eta_pc = pick(is_nog, jnp.maximum(n_nog, 1.0), u_nog)
+        eta = gf * eta_grow + (1.0 - gf) * eta_pc            # (1,1)
+        lft = jnp.minimum(2.0 * eta + 1.0, float(NODE_PAD - 1))
+        rgt = jnp.minimum(2.0 * eta + 2.0, float(NODE_PAD - 1))
+
+        d_eta = (iota_row == eta).astype(f32)                # (1,128)
+        d_lft = (iota_row == lft).astype(f32)
+        d_rgt = (iota_row == rgt).astype(f32)
+
+        depths_row = depths_ref[:, :]
+        psplit_row = psplit_ref[:, :]
+        d = jnp.sum(depths_row * d_eta, axis=1, keepdims=True)
+        # p_split at depth d and d+1 (psplit_row is indexed BY DEPTH)
+        dd = jnp.minimum(d + 1.0, max_depth + 1.0)
+        ps_d = jnp.sum(psplit_row * (iota_row == d).astype(f32),
+                       axis=1, keepdims=True)
+        ps_d1 = jnp.sum(psplit_row * (iota_row == dd).astype(f32),
+                        axis=1, keepdims=True)
+
+        # membership & masked sufficient statistics --------------------
+        eta_i = eta.astype(jnp.int32)
+        lft_i = lft.astype(jnp.int32)
+        rgt_i = rgt.astype(jnp.int32)
+        me = (lidx == eta_i).astype(f32)                     # (1, NPAD)
+        ml = (lidx == lft_i).astype(f32)
+        mr = (lidx == rgt_i).astype(f32)
+        members = gf * me + (1.0 - gf) * (ml + mr)
+
+        n_all = jnp.sum(members, axis=1, keepdims=True)
+        s_all = jnp.sum(members * r, axis=1, keepdims=True)
+        mln = members * go_left_new
+        n_ln = jnp.sum(mln, axis=1, keepdims=True)
+        s_ln = jnp.sum(mln * r, axis=1, keepdims=True)
+        n_lo = jnp.sum(ml, axis=1, keepdims=True)
+        s_lo = jnp.sum(ml * r, axis=1, keepdims=True)
+        n_rn = n_all - n_ln
+        s_rn = s_all - s_ln
+        n_ro = n_all - n_lo
+        s_ro = s_all - s_lo
+
+        def marg(n, s):
+            denom = sigma2 + n * tau2
+            return (0.5 * jnp.log(sigma2 / denom)
+                    + tau2 * s * s / (2.0 * sigma2 * denom))
+
+        m_all = marg(n_all, s_all)
+        m_ln = marg(n_ln, s_ln)
+        m_rn = marg(n_rn, s_rn)
+        m_lo = marg(n_lo, s_lo)
+        m_ro = marg(n_ro, s_ro)
+
+        # structure prior + transition terms (all log args clamped >0
+        # so invalid branches stay FINITE — they blend with weight 0) --
+        split_term = (jnp.log(jnp.maximum(ps_d, eps))
+                      + 2.0 * jnp.log1p(-ps_d1)
+                      - jnp.log1p(-jnp.minimum(ps_d, 1.0 - eps)))
+        f_eta = jnp.sum(featf * d_eta, axis=1, keepdims=True)
+        parent = jnp.maximum(jnp.floor((eta - 1.0) / 2.0), 0.0)
+        d_par = (iota_row == parent).astype(f32)
+        parent_was_nog = jnp.sum(is_nog * d_par, axis=1, keepdims=True) \
+            * jnp.where(jnp.sum(eta) == 0.0, 0.0, 1.0)
+        n_nog_grow = jnp.maximum(n_nog + 1.0 - parent_was_nog, 1.0)
+        log_trans_grow = (np.log(p_prune) - np.log(p_grow)
+                          + jnp.log(jnp.maximum(n_leaf, 1.0))
+                          - jnp.log(n_nog_grow))
+        log_trans_prune = (np.log(p_grow) - np.log(p_prune)
+                           + jnp.log(jnp.maximum(n_nog, 1.0))
+                           - jnp.log(jnp.maximum(n_leaf - 1.0, 1.0)))
+
+        la_grow = split_term + log_trans_grow + (m_ln + m_rn - m_all)
+        la_prune = -split_term + log_trans_prune + (m_all - m_lo - m_ro)
+        la_change = m_ln + m_rn - m_lo - m_ro
+        log_accept = gf * la_grow + pf * la_prune + cf * la_change
+
+        valid_grow = ((d < max_depth).astype(f32)
+                      * (n_ln > 0.0).astype(f32)
+                      * (n_rn > 0.0).astype(f32))
+        valid_prune = (n_nog > 0.0).astype(f32)
+        valid_change = (valid_prune * (n_ln > 0.0).astype(f32)
+                        * (n_rn > 0.0).astype(f32))
+        valid = gf * valid_grow + pf * valid_prune + cf * valid_change
+        acc = valid * (log_u < log_accept).astype(f32)       # (1,1)
+
+        # blended tree update ------------------------------------------
+        f_eta_new = pf * float(LEAF) + (1.0 - pf) * v_new
+        f_child_new = pf * float(INACTIVE) + (1.0 - pf) * float(LEAF)
+        new_feat = (featf * (1.0 - d_eta - d_lft - d_rgt)
+                    + f_eta_new * d_eta + f_child_new * (d_lft + d_rgt))
+        c_eta_cur = jnp.sum(cutf * d_eta, axis=1, keepdims=True)
+        c_eta_new = pf * c_eta_cur + (1.0 - pf) * c_new
+        new_cut = cutf * (1.0 - d_eta) + c_eta_new * d_eta
+        dest = (pf * eta
+                + (1.0 - pf) * (go_left_new * lft
+                                + (1.0 - go_left_new) * rgt))
+        new_lidx_f = members * dest + (1.0 - members) * lidx_f
+
+        featf = acc * new_feat + (1.0 - acc) * featf
+        cutf = acc * new_cut + (1.0 - acc) * cutf
+        lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
+        lidx = lidx_f.astype(jnp.int32)
+
+        # conjugate leaf draws + fitted values -------------------------
+        # membership one-hot M[node, obs]: generated once, lane-reduced
+        # for the sufficient statistics, reused as the MXU operand for
+        # the fit lookup
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
+        Mm = (iota_col == lidx).astype(f32)                  # (128, NPAD)
+        counts_c = jnp.sum(Mm, axis=1, keepdims=True)        # (128, 1)
+        sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
+        counts = jnp.transpose(counts_c)                     # (1, 128)
+        sums = jnp.transpose(sums_c)
+        post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
+        post_mean = post_var * sums / sigma2
+        mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
+        lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
+
+        new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
+
+        R_new = R + old_fit - new_fit
+        resid_s[:, :] = R_new
+        resid_o[:, :] = R_new
+        feature_o[0] = featf.astype(jnp.int32)
+        cut_o[0] = cutf.astype(jnp.int32)
+        lv_o[0] = lv_new
+        lidx_o[0] = lidx
+        tfit_o[0] = new_fit
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_obs", "npad", "interpret"),
+)
+def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
+                ranks_f, spcum, psplit, depths, u, zn, scal,
+                n_obs: int, npad: int, interpret: bool):
+    T = cfg.num_trees
+    P = ranks_f.shape[0]
+    f32 = jnp.float32
+
+    # per-tree arrays are (T, 1, X) so the Mosaic block-shape rule
+    # ("last two dims divisible by (8, 128) or equal to the array dims")
+    # is satisfied by (1, 1, X) blocks
+    tree3 = lambda x: x[:, None, :]   # noqa: E731
+    row_t = lambda t: (t, 0, 0)       # noqa: E731
+    row_0 = lambda t: (0, 0)          # noqa: E731
+
+    kernel = _make_kernel(cfg, npad, P)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 2), row_0, memory_space=pltpu.SMEM),     # scal
+            pl.BlockSpec((T, 8), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),                    # u
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),                    # feature
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),                    # cut
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),                    # lv
+            pl.BlockSpec((1, 1, npad), row_t),                        # lidx
+            pl.BlockSpec((1, 1, npad), row_t),                        # tfit
+            pl.BlockSpec((1, npad), row_0),                           # resid0
+            pl.BlockSpec((P, npad), row_0),                           # ranks
+            pl.BlockSpec((1, P), row_0),                              # spcum
+            pl.BlockSpec((1, NODE_PAD), row_0),                       # psplit
+            pl.BlockSpec((1, NODE_PAD), row_0),                       # depths
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),                    # zn
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),
+            pl.BlockSpec((1, 1, NODE_PAD), row_t),
+            pl.BlockSpec((1, 1, npad), row_t),
+            pl.BlockSpec((1, 1, npad), row_t),
+            pl.BlockSpec((1, npad), row_0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, NODE_PAD), f32),
+            jax.ShapeDtypeStruct((T, 1, npad), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, npad), f32),
+            jax.ShapeDtypeStruct((1, npad), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, npad), f32)],
+        interpret=interpret,
+    )(scal, u, tree3(featp), tree3(cutp), tree3(lvp), tree3(lidxp),
+      tree3(tfitp), resid0, ranks_f, spcum, psplit, depths, tree3(zn))
+    feato, cuto, lvo, lidxo, tfito, resido = outs
+    return (feato[:, 0], cuto[:, 0], lvo[:, 0], lidxo[:, 0], tfito[:, 0],
+            resido)
+
+
+def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
+                     consts: SweepConsts, sigma, rng, *,
+                     variates=None, interpret: bool = False):
+    """One full Gibbs sweep over all trees in a single fused kernel.
+
+    Drop-in for ops/bart.py:bart_sweep (unweighted likelihoods; the
+    caller gates on ``weights is None``).  Returns ``(state, varcount)``.
+
+    variates: optional pre-drawn ``(u (T, 8), zn (T, 128))`` for
+    same-randomness comparison against the XLA path.
+    """
+    T, M = cfg.num_trees, cfg.max_nodes
+    N, NPAD = consts.n_obs, consts.npad
+    f32 = jnp.float32
+
+    if variates is None:
+        rng_u, rng_z = jax.random.split(rng)
+        u = jax.random.uniform(rng_u, (T, 8), dtype=f32)
+        zn = jax.random.normal(rng_z, (T, NODE_PAD), dtype=f32)
+    else:
+        u, zn = variates
+
+    pad_nodes = ((0, 0), (0, NODE_PAD - M))
+    featp = jnp.pad(state.feature, pad_nodes, constant_values=INACTIVE)
+    cutp = jnp.pad(state.cut, pad_nodes)
+    lvp = jnp.pad(state.leaf_value.astype(f32), pad_nodes)
+    pad_obs = ((0, 0), (0, NPAD - N))
+    lidxp = jnp.pad(state.leaf_idx, pad_obs,
+                    constant_values=NODE_PAD - 1)
+    tfitp = jnp.pad(state.tree_fit.astype(f32), pad_obs)
+    resid0 = jnp.pad((y_target - state.allfit).astype(f32)[None, :],
+                     pad_obs)
+    scal = jnp.stack([(sigma * sigma).astype(f32),
+                      (state.sigma_mu * state.sigma_mu).astype(f32)]
+                     )[None, :]
+
+    feato, cuto, lvo, lidxo, tfito, resido = _sweep_call(
+        cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
+        consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
+        u, zn, scal, n_obs=N, npad=NPAD, interpret=interpret,
+    )
+
+    dtype = state.allfit.dtype
+    feature = feato[:, :M]
+    cut = cuto[:, :M]
+    leaf_value = lvo[:, :M].astype(dtype)
+    leaf_idx = lidxo[:, :N]
+    tree_fit = tfito[:, :N].astype(dtype)
+    allfit = (y_target.astype(f32) - resido[0, :N]).astype(dtype)
+
+    # chi(df, scale) hyperprior on k — same post-sweep update as the
+    # XLA path (ops/bart.py:bart_sweep)
+    k = state.k
+    sigma_mu = state.sigma_mu
+    if cfg.k_df > 0:
+        rng_k = jax.random.fold_in(rng, 0x6B)
+        is_leaf_all = feature == LEAF
+        m = jnp.sum(is_leaf_all.astype(dtype))
+        A = state.k * state.sigma_mu
+        ssq = jnp.sum(jnp.where(is_leaf_all, leaf_value, 0.0) ** 2)
+        rate = ssq / (2.0 * A * A)
+        if np.isfinite(cfg.k_scale):
+            rate = rate + 1.0 / (2.0 * cfg.k_scale ** 2)
+        shape = (cfg.k_df + m) / 2.0
+        g = jax.random.gamma(rng_k, shape, dtype=dtype) / rate
+        k = jnp.sqrt(g)
+        sigma_mu = A / k
+
+    new_state = BartState(
+        feature=feature, cut=cut, leaf_value=leaf_value,
+        leaf_idx=leaf_idx, allfit=allfit, k=k, sigma_mu=sigma_mu,
+        tree_fit=tree_fit,
+    )
+    varcount = count_variable_use(cfg, feature, consts.spcum.shape[1])
+    return new_state, varcount

@@ -1,0 +1,202 @@
+"""Fused Pallas sweep kernel vs the XLA scan sweep on identical randomness.
+
+Both paths consume the same pre-drawn proposal uniforms and leaf
+normals (the ``variates`` contract), so for a given starting forest one
+sweep must produce the same grow/prune/change decisions and the same
+leaf draws — the sampled forests should match structurally exactly and
+numerically to f32 round-off.  Runs the kernel in interpreter mode
+(tests are CPU-only; the Mosaic compile path is exercised on the real
+chip by the benchmark)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stan4bart_tpu.ops import bart as bart_ops
+from stan4bart_tpu.ops.bart import BartConfig
+from stan4bart_tpu.ops.bart_sweep_kernel import (
+    bart_sweep_fused,
+    make_sweep_consts,
+)
+
+N, P, T = 200, 5, 10
+
+
+def _setup(seed=0, n=N, trees=T, binary_resid=False):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, P))
+    y = (np.sin(X[:, 0]) + X[:, 1] ** 2 + rng.normal(scale=0.5, size=n)
+         ).astype(np.float32)
+    cfg = BartConfig(num_trees=trees)
+    cuts = bart_ops.make_cut_grid(X, cfg.n_cuts)
+    ranks = bart_ops.compute_ranks(X, cuts)
+    split_probs = np.full(P, 1.0 / P, dtype=np.float32)
+    state = bart_ops.bart_init(cfg, n, dtype=jnp.float32)
+    consts = make_sweep_consts(cfg, ranks, split_probs)
+    return cfg, state, jnp.asarray(y), jnp.asarray(ranks), \
+        jnp.asarray(split_probs), consts
+
+
+def _draw_variates(key, trees=T):
+    ku, kz = jax.random.split(key)
+    u = jax.random.uniform(ku, (trees, 8), dtype=jnp.float32)
+    zn = jax.random.normal(kz, (trees, 128), dtype=jnp.float32)
+    return u, zn
+
+
+def test_fused_sweep_matches_xla_on_same_variates():
+    cfg, state, y, ranks, split_probs, consts = _setup()
+    sigma = jnp.asarray(0.7, jnp.float32)
+    key = jax.random.PRNGKey(42)
+
+    s_xla, s_ker = state, state
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        var = _draw_variates(sub)
+        s_xla, vc_xla = bart_ops.bart_sweep(
+            cfg, s_xla, y, ranks, split_probs, sigma,
+            jax.random.PRNGKey(0), variates=var,
+        )
+        s_ker, vc_ker = bart_sweep_fused(
+            cfg, s_ker, y, consts, sigma, jax.random.PRNGKey(0),
+            variates=var, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.feature), np.asarray(s_ker.feature),
+            err_msg=f"sweep {i}: tree structures diverged",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.cut), np.asarray(s_ker.cut))
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.leaf_idx), np.asarray(s_ker.leaf_idx))
+        np.testing.assert_array_equal(
+            np.asarray(vc_xla), np.asarray(vc_ker))
+        np.testing.assert_allclose(
+            np.asarray(s_xla.leaf_value), np.asarray(s_ker.leaf_value),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_xla.allfit), np.asarray(s_ker.allfit),
+            rtol=5e-4, atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_xla.tree_fit), np.asarray(s_ker.tree_fit),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
+def test_fused_sweep_moves_trees():
+    """The kernel must actually accept moves (not a frozen forest)."""
+    cfg, state, y, ranks, split_probs, consts = _setup(seed=3)
+    sigma = jnp.asarray(0.7, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    s = state
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        s, _ = bart_sweep_fused(cfg, s, y, consts, sigma, sub,
+                                interpret=True)
+    n_internal = int(np.sum(np.asarray(s.feature) >= 0))
+    assert n_internal >= 3
+    # allfit invariant: sum of cached per-tree fits
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(s.tree_fit, axis=0)), np.asarray(s.allfit),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fused_sweep_vmaps_over_chains():
+    """vmap prepends a chain grid axis; per-chain carries must not mix."""
+    cfg, state, y, ranks, split_probs, consts = _setup()
+    sigma = jnp.asarray(0.7, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+
+    def one(key):
+        var = _draw_variates(key)
+        s, vc = bart_sweep_fused(cfg, state, y, consts, sigma, key,
+                                 variates=var, interpret=True)
+        return s, vc
+
+    sv, vcv = jax.vmap(one)(keys)
+    for c in range(3):
+        s1, vc1 = one(keys[c])
+        np.testing.assert_array_equal(np.asarray(sv.feature[c]),
+                                      np.asarray(s1.feature))
+        np.testing.assert_allclose(np.asarray(sv.allfit[c]),
+                                   np.asarray(s1.allfit),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(vcv[c]), np.asarray(vc1))
+
+
+def test_consts_reject_deep_trees():
+    cfg, state, y, ranks, split_probs, consts = _setup()
+    with pytest.raises(ValueError):
+        make_sweep_consts(BartConfig(max_depth=7), np.asarray(ranks),
+                          np.asarray(split_probs))
+
+
+def test_gibbs_program_with_sweep_kernel_runs():
+    """Full Gibbs wiring with the fused sweep (interpreted off-TPU):
+    warmup + sampling steps execute and produce finite draws."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=4), mf.y, mf.bart_X,
+        warmup=6, iterations=4, sweep_kernel=True, dtype=jnp.float32,
+    )
+    state = prog.init_state(jax.random.PRNGKey(0))
+    for i in range(6):
+        state, _ = prog.step(state, i, True)
+    state = jax.tree.map(lambda x: x, state)
+    draws = []
+    for i in range(4):
+        state, draw = prog.step(state, i, False)
+        draws.append(draw)
+    lp = np.asarray(draws[-1].stan[0])
+    assert np.isfinite(lp)
+    assert np.all(np.isfinite(np.asarray(state.bart.allfit)))
+    # tree_fit invariant maintained by the kernel
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(state.bart.tree_fit, axis=0)),
+        np.asarray(state.bart.allfit), rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_gibbs_program_sweep_kernel_rejects_f64_and_weights():
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(60, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame("y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)",
+                           df)
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float64)
+    with pytest.raises(ValueError, match="float32"):
+        GibbsProgram(pm, BartConfig(num_trees=3), mf.y, mf.bart_X,
+                     warmup=2, iterations=2, sweep_kernel=True,
+                     dtype=jnp.float64)
+    pm32, _, _ = build_parametric_model(mf, "gaussian", {},
+                                        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="weight"):
+        GibbsProgram(pm32, BartConfig(num_trees=3), mf.y, mf.bart_X,
+                     weights=np.ones(60), warmup=2, iterations=2,
+                     sweep_kernel=True, dtype=jnp.float32)
