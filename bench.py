@@ -71,9 +71,11 @@ NUM_TREES = 75
 # cost; draws/s headline counts STORED draws)
 SKIP_STAN = int(os.environ.get("BENCH_SKIP_STAN", "1"))
 SKIP_BART = int(os.environ.get("BENCH_SKIP_BART", "1"))
-# fused whole-sweep Pallas kernel for the BART phase (the sweep is 80%
-# of iteration wall clock as a 75-step XLA scan; ops/bart_sweep_kernel)
-SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "0") == "1"
+# fused whole-sweep Pallas kernel for the BART phase: one kernel launch
+# per sweep instead of a 75-step XLA scan (which was 80% of iteration
+# wall clock).  Measured 764 -> 1740 draws/s, ESS(sigma)/s 5.5 -> 14.9,
+# ESS(lp)/s 2.0 -> 4.9 at the 64-chain headline (ops/bart_sweep_kernel)
+SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "1") == "1"
 
 
 def main():

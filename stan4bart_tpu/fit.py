@@ -106,7 +106,11 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     split_probs = pop("split.probs", "split_probs")
     k = pop("k")
     keep_trees = bool(pop("keepTrees", "keep_trees", default=False))
-    sweep_kernel = bool(pop("sweep_kernel", default=False))
+    # None = auto: on when running on real TPU hardware and the model is
+    # eligible (f32, unweighted, max_depth <= 6); see stan4bart() below
+    sweep_kernel = pop("sweep_kernel", default=None)
+    if sweep_kernel is not None:
+        sweep_kernel = bool(sweep_kernel)
 
     # k: numeric -> fixed; chi spec (dict or ("chi", df, scale)) -> sampled;
     # default = fixed k = 2 (see BartConfig.k_df note)
@@ -323,6 +327,17 @@ def stan4bart(
     bart_cfg, split_probs, keep_trees_flag, sweep_kernel = (
         _resolve_bart_args(bart_args, is_binary)
     )
+    if sweep_kernel is None:
+        # default the fused Pallas sweep ON where it is Mosaic-compiled
+        # and eligible (measured 2.3x draws/s at the n=10k headline);
+        # off-TPU the kernel would run interpreted — keep the XLA scan
+        no_weights = mf.weights is None or not len(np.asarray(mf.weights))
+        sweep_kernel = (
+            jax.default_backend() in ("tpu", "axon")
+            and jnp.dtype(dtype) == jnp.float32
+            and no_weights
+            and bart_cfg.max_depth <= 6
+        )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
         keep_trees_flag = True
 
