@@ -50,6 +50,7 @@ def main():
         pm, BartConfig(num_trees=75), mf.y, mf.bart_X,
         warmup=warmup, iterations=chunk, dtype=jnp.float32,
         nuts_cfg=NutsConfig(freeze_rule="mid", max_treedepth=maxdepth),
+        sweep_kernel=os.environ.get("BENCH_SWEEP_KERNEL", "0") == "1",
     )
 
     def warmup_chunk(state, it0):

@@ -192,6 +192,7 @@ class GibbsProgram:
         self.offset_type = OFFSET_TYPES.index(offset_type)
 
         self.sweep_consts = None
+        self.sweep_interpret = False
         if sweep_kernel:
             if self.weights is not None:
                 raise ValueError(

@@ -84,10 +84,19 @@ def profile_phases(prog, states, n_iter: int = 25, repeats: int = 3):
         def body(carry, it):
             bart_state, rng = carry
             rng, sub = jax.random.split(rng)
-            bart_state, _ = bart_ops.bart_sweep(
-                prog.bart_cfg, bart_state, y_target, prog.ranks,
-                prog.split_probs, sigma, sub, weights=prog.weights,
-            )
+            if prog.sweep_consts is not None:
+                from ..ops.bart_sweep_kernel import bart_sweep_fused
+
+                bart_state, _ = bart_sweep_fused(
+                    prog.bart_cfg, bart_state, y_target,
+                    prog.sweep_consts, sigma, sub,
+                    interpret=prog.sweep_interpret,
+                )
+            else:
+                bart_state, _ = bart_ops.bart_sweep(
+                    prog.bart_cfg, bart_state, y_target, prog.ranks,
+                    prog.split_probs, sigma, sub, weights=prog.weights,
+                )
             return (bart_state, rng), None
 
         (bart_state, _), _ = jax.lax.scan(body, (state.bart, state.rng),
