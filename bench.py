@@ -47,9 +47,10 @@ FREEZE = os.environ.get("BENCH_FREEZE", "mid")
 # NUTS treedepth cap: under vmap the per-iteration cost is the MAX
 # trajectory over the chain batch (padded while_loop), so the cap — not
 # the mean leapfrog count — sets the NUTS share of iteration time.
-# 8 measured +52% draws/s and +50% ESS(lp)/s vs 10 at mean depth ~7.4
-# (chip A/B, BENCH_NOTES round-2 part 2)
-MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "8"))
+# 8 measured +52% draws/s and +50% ESS(lp)/s vs 10 at mean depth ~7.4;
+# 7 measured +31% draws/s and +14% ESS(lp)/s vs 8 once the fused sweep
+# made NUTS half the iteration (chip A/Bs, BENCH_NOTES parts 2/5)
+MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "7"))
 # opt-in exact sigma conditional Gibbs kernel (decouples sigma mixing from
 # NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
 SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"

@@ -117,7 +117,8 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
     )
 
 
-def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
+def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
+                 stats_mode: str = "onehot"):
     f32 = jnp.float32
     n_cuts = float(cfg.n_cuts)
     p_grow = float(cfg.p_grow)
@@ -309,21 +310,64 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
         lidx = lidx_f.astype(jnp.int32)
 
         # conjugate leaf draws + fitted values -------------------------
-        # membership one-hot M[node, obs]: generated once, lane-reduced
-        # for the sufficient statistics, reused as the MXU operand for
-        # the fit lookup
-        iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
-        Mm = (iota_col == lidx).astype(f32)                  # (128, NPAD)
-        counts_c = jnp.sum(Mm, axis=1, keepdims=True)        # (128, 1)
-        sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
-        counts = jnp.transpose(counts_c)                     # (1, 128)
-        sums = jnp.transpose(sums_c)
-        post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
-        post_mean = post_var * sums / sigma2
-        mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
-        lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
+        if stats_mode == "onehot":
+            # membership one-hot M[node, obs]: generated once,
+            # lane-reduced for the sufficient statistics, reused as the
+            # MXU operand for the fit lookup
+            iota_col = jax.lax.broadcasted_iota(jnp.int32,
+                                                (NODE_PAD, 1), 0)
+            Mm = (iota_col == lidx).astype(f32)              # (128, NPAD)
+            counts_c = jnp.sum(Mm, axis=1, keepdims=True)    # (128, 1)
+            sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
+            counts = jnp.transpose(counts_c)                 # (1, 128)
+            sums = jnp.transpose(sums_c)
+            post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
+            post_mean = post_var * sums / sigma2
+            mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
+            lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
+            new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
+        else:
+            # hi/lo factored one-hot: node = hi*8 + lo splits the
+            # (128, NPAD) membership matrix into (16, NPAD) x (8, NPAD)
+            # factors — ~5x less one-hot generation/reduction traffic,
+            # with the per-node grid living as (16, 8) and row<->grid
+            # conversion done by small iota-built permutation matmuls
+            hi = jnp.right_shift(lidx, 3)                    # (1, NPAD)
+            lo = jnp.bitwise_and(lidx, 7)
+            iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+            iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            hiT = (iota16 == hi).astype(f32)                 # (16, NPAD)
+            loT = (iota8 == lo).astype(f32)                  # (8, NPAD)
+            # P_h[h, m] = [m >> 3 == h]; P_lT[m, l] = [m & 7 == l]
+            m16 = jax.lax.broadcasted_iota(jnp.int32, (16, NODE_PAD), 1)
+            h16 = jax.lax.broadcasted_iota(jnp.int32, (16, NODE_PAD), 0)
+            P_h = (jnp.right_shift(m16, 3) == h16).astype(f32)
+            m8 = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 8), 0)
+            l8 = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 8), 1)
+            P_lT = (jnp.bitwise_and(m8, 7) == l8).astype(f32)
 
-        new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
+            def row_to_grid(row):                            # (1,128)->(16,8)
+                return jnp.dot(P_h * row, P_lT,
+                               preferred_element_type=f32)
+
+            B = jnp.transpose(loT)                           # (NPAD, 8)
+            counts_g = jnp.dot(hiT, B, preferred_element_type=f32)
+            sums_g = jnp.dot(hiT * r, B, preferred_element_type=f32)
+            post_var = 1.0 / (counts_g / sigma2 + 1.0 / tau2)
+            post_mean = post_var * sums_g / sigma2
+            zn_g = row_to_grid(zn_ref[0])
+            leaf_g = row_to_grid((featf == float(LEAF)).astype(f32))
+            lv_g = leaf_g * (post_mean + jnp.sqrt(post_var) * zn_g)
+            # fit[n] = LV[hi_n, lo_n] = sum_l (lv_g^T @ hiT)[l, n]*loT[l, n]
+            C1 = jnp.dot(jnp.transpose(lv_g), hiT,
+                         preferred_element_type=f32)         # (8, NPAD)
+            new_fit = jnp.sum(C1 * loT, axis=0, keepdims=True)
+            # grid -> row for the leaf-value output
+            lv_col = jnp.sum(
+                jnp.dot(jnp.transpose(P_h), lv_g,
+                        preferred_element_type=f32) * P_lT,
+                axis=1, keepdims=True)                       # (128, 1)
+            lv_new = jnp.transpose(lv_col)                   # (1, 128)
 
         R_new = R + old_fit - new_fit
         resid_s[:, :] = R_new
@@ -339,11 +383,12 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "interpret"),
+    static_argnames=("cfg", "n_obs", "npad", "interpret", "stats_mode"),
 )
 def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
                 ranks_f, spcum, psplit, depths, u, zn, scal,
-                n_obs: int, npad: int, interpret: bool):
+                n_obs: int, npad: int, interpret: bool,
+                stats_mode: str = "onehot"):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     f32 = jnp.float32
@@ -355,7 +400,7 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
     row_t = lambda t: (t, 0, 0)       # noqa: E731
     row_0 = lambda t: (0, 0)          # noqa: E731
 
-    kernel = _make_kernel(cfg, npad, P)
+    kernel = _make_kernel(cfg, npad, P, stats_mode)
     outs = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -402,7 +447,8 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
 
 def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
                      consts: SweepConsts, sigma, rng, *,
-                     variates=None, interpret: bool = False):
+                     variates=None, interpret: bool = False,
+                     stats_mode: str = "onehot"):
     """One full Gibbs sweep over all trees in a single fused kernel.
 
     Drop-in for ops/bart.py:bart_sweep (unweighted likelihoods; the
@@ -440,6 +486,7 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
         u, zn, scal, n_obs=N, npad=NPAD, interpret=interpret,
+        stats_mode=stats_mode,
     )
 
     dtype = state.allfit.dtype

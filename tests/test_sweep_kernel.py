@@ -45,7 +45,8 @@ def _draw_variates(key, trees=T):
     return u, zn
 
 
-def test_fused_sweep_matches_xla_on_same_variates():
+@pytest.mark.parametrize("stats_mode", ["onehot", "hilo"])
+def test_fused_sweep_matches_xla_on_same_variates(stats_mode):
     cfg, state, y, ranks, split_probs, consts = _setup()
     sigma = jnp.asarray(0.7, jnp.float32)
     key = jax.random.PRNGKey(42)
@@ -60,7 +61,7 @@ def test_fused_sweep_matches_xla_on_same_variates():
         )
         s_ker, vc_ker = bart_sweep_fused(
             cfg, s_ker, y, consts, sigma, jax.random.PRNGKey(0),
-            variates=var, interpret=True,
+            variates=var, interpret=True, stats_mode=stats_mode,
         )
         np.testing.assert_array_equal(
             np.asarray(s_xla.feature), np.asarray(s_ker.feature),
