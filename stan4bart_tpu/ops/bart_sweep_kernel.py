@@ -41,10 +41,11 @@ TPU-native design notes (the layout rules that make Mosaic happy here):
   scalar-predicated vector selects — Mosaic lowering restriction), with
   every ``log`` argument clamped so invalid-move branches stay finite
   (a NaN would poison the blend);
-* scalars (tree index, sigma^2, tau^2, the six proposal uniforms) live
-  in SMEM; the tree index arrives as DATA (an ``arange`` input block)
-  rather than ``pl.program_id`` so the kernel is immune to the grid-axis
-  renumbering that vmap batching performs.
+* scalars (sigma^2, tau^2, the six proposal uniforms) live in SMEM as
+  full arrays (Mosaic requires SMEM blocks to equal the array shape)
+  indexed by ``pl.program_id(0)`` — which is vmap-safe: Mosaic's
+  ``user_grid_indices`` excludes vmap-batched grid dimensions, so axis 0
+  remains the tree axis after chain batching.
 
 Padded observations (N..NPAD) carry ``leaf_idx = 127`` — a heap slot
 that can never be a real leaf (``max_nodes`` <= 127 for ``max_depth``
@@ -117,8 +118,7 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
     )
 
 
-def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
-                 stats_mode: str = "onehot"):
+def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
     f32 = jnp.float32
     n_cuts = float(cfg.n_cuts)
     p_grow = float(cfg.p_grow)
@@ -310,64 +310,26 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
         lidx = lidx_f.astype(jnp.int32)
 
         # conjugate leaf draws + fitted values -------------------------
-        if stats_mode == "onehot":
-            # membership one-hot M[node, obs]: generated once,
-            # lane-reduced for the sufficient statistics, reused as the
-            # MXU operand for the fit lookup
-            iota_col = jax.lax.broadcasted_iota(jnp.int32,
-                                                (NODE_PAD, 1), 0)
-            Mm = (iota_col == lidx).astype(f32)              # (128, NPAD)
-            counts_c = jnp.sum(Mm, axis=1, keepdims=True)    # (128, 1)
-            sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
-            counts = jnp.transpose(counts_c)                 # (1, 128)
-            sums = jnp.transpose(sums_c)
-            post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
-            post_mean = post_var * sums / sigma2
-            mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
-            lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
-            new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
-        else:
-            # hi/lo factored one-hot: node = hi*8 + lo splits the
-            # (128, NPAD) membership matrix into (16, NPAD) x (8, NPAD)
-            # factors — ~5x less one-hot generation/reduction traffic,
-            # with the per-node grid living as (16, 8) and row<->grid
-            # conversion done by small iota-built permutation matmuls
-            hi = jnp.right_shift(lidx, 3)                    # (1, NPAD)
-            lo = jnp.bitwise_and(lidx, 7)
-            iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-            iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-            hiT = (iota16 == hi).astype(f32)                 # (16, NPAD)
-            loT = (iota8 == lo).astype(f32)                  # (8, NPAD)
-            # P_h[h, m] = [m >> 3 == h]; P_lT[m, l] = [m & 7 == l]
-            m16 = jax.lax.broadcasted_iota(jnp.int32, (16, NODE_PAD), 1)
-            h16 = jax.lax.broadcasted_iota(jnp.int32, (16, NODE_PAD), 0)
-            P_h = (jnp.right_shift(m16, 3) == h16).astype(f32)
-            m8 = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 8), 0)
-            l8 = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 8), 1)
-            P_lT = (jnp.bitwise_and(m8, 7) == l8).astype(f32)
-
-            def row_to_grid(row):                            # (1,128)->(16,8)
-                return jnp.dot(P_h * row, P_lT,
-                               preferred_element_type=f32)
-
-            B = jnp.transpose(loT)                           # (NPAD, 8)
-            counts_g = jnp.dot(hiT, B, preferred_element_type=f32)
-            sums_g = jnp.dot(hiT * r, B, preferred_element_type=f32)
-            post_var = 1.0 / (counts_g / sigma2 + 1.0 / tau2)
-            post_mean = post_var * sums_g / sigma2
-            zn_g = row_to_grid(zn_ref[0])
-            leaf_g = row_to_grid((featf == float(LEAF)).astype(f32))
-            lv_g = leaf_g * (post_mean + jnp.sqrt(post_var) * zn_g)
-            # fit[n] = LV[hi_n, lo_n] = sum_l (lv_g^T @ hiT)[l, n]*loT[l, n]
-            C1 = jnp.dot(jnp.transpose(lv_g), hiT,
-                         preferred_element_type=f32)         # (8, NPAD)
-            new_fit = jnp.sum(C1 * loT, axis=0, keepdims=True)
-            # grid -> row for the leaf-value output
-            lv_col = jnp.sum(
-                jnp.dot(jnp.transpose(P_h), lv_g,
-                        preferred_element_type=f32) * P_lT,
-                axis=1, keepdims=True)                       # (128, 1)
-            lv_new = jnp.transpose(lv_col)                   # (1, 128)
+        # membership one-hot M[node, obs]: generated once, lane-reduced
+        # for the sufficient statistics, reused as the MXU operand for
+        # the fit lookup.  A hi/lo-factored variant (node = hi*8+lo,
+        # (16, N) x (8, N) operands, ~5x less one-hot traffic) was
+        # built, parity-tested, and measured NEUTRAL on-chip
+        # (4.77 vs 4.60 us/chain/tree) — the sweep step is not
+        # generation-bound; deleted per win-or-delete (git history
+        # b8e68d0 has the source)
+        iota_col = jax.lax.broadcasted_iota(jnp.int32,
+                                            (NODE_PAD, 1), 0)
+        Mm = (iota_col == lidx).astype(f32)                  # (128, NPAD)
+        counts_c = jnp.sum(Mm, axis=1, keepdims=True)        # (128, 1)
+        sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
+        counts = jnp.transpose(counts_c)                     # (1, 128)
+        sums = jnp.transpose(sums_c)
+        post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
+        post_mean = post_var * sums / sigma2
+        mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
+        lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
+        new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
 
         R_new = R + old_fit - new_fit
         resid_s[:, :] = R_new
@@ -383,12 +345,11 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "interpret", "stats_mode"),
+    static_argnames=("cfg", "n_obs", "npad", "interpret"),
 )
 def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
                 ranks_f, spcum, psplit, depths, u, zn, scal,
-                n_obs: int, npad: int, interpret: bool,
-                stats_mode: str = "onehot"):
+                n_obs: int, npad: int, interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     f32 = jnp.float32
@@ -400,7 +361,7 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
     row_t = lambda t: (t, 0, 0)       # noqa: E731
     row_0 = lambda t: (0, 0)          # noqa: E731
 
-    kernel = _make_kernel(cfg, npad, P, stats_mode)
+    kernel = _make_kernel(cfg, npad, P)
     outs = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -447,8 +408,7 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
 
 def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
                      consts: SweepConsts, sigma, rng, *,
-                     variates=None, interpret: bool = False,
-                     stats_mode: str = "onehot"):
+                     variates=None, interpret: bool = False):
     """One full Gibbs sweep over all trees in a single fused kernel.
 
     Drop-in for ops/bart.py:bart_sweep (unweighted likelihoods; the
@@ -486,7 +446,6 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
         u, zn, scal, n_obs=N, npad=NPAD, interpret=interpret,
-        stats_mode=stats_mode,
     )
 
     dtype = state.allfit.dtype

@@ -45,8 +45,7 @@ def _draw_variates(key, trees=T):
     return u, zn
 
 
-@pytest.mark.parametrize("stats_mode", ["onehot", "hilo"])
-def test_fused_sweep_matches_xla_on_same_variates(stats_mode):
+def test_fused_sweep_matches_xla_on_same_variates():
     cfg, state, y, ranks, split_probs, consts = _setup()
     sigma = jnp.asarray(0.7, jnp.float32)
     key = jax.random.PRNGKey(42)
@@ -61,7 +60,7 @@ def test_fused_sweep_matches_xla_on_same_variates(stats_mode):
         )
         s_ker, vc_ker = bart_sweep_fused(
             cfg, s_ker, y, consts, sigma, jax.random.PRNGKey(0),
-            variates=var, interpret=True, stats_mode=stats_mode,
+            variates=var, interpret=True,
         )
         np.testing.assert_array_equal(
             np.asarray(s_xla.feature), np.asarray(s_ker.feature),
