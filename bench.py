@@ -47,10 +47,11 @@ FREEZE = os.environ.get("BENCH_FREEZE", "mid")
 # NUTS treedepth cap: under vmap the per-iteration cost is the MAX
 # trajectory over the chain batch (padded while_loop), so the cap — not
 # the mean leapfrog count — sets the NUTS share of iteration time.
-# 8 measured +52% draws/s and +50% ESS(lp)/s vs 10 at mean depth ~7.4;
-# 7 measured +31% draws/s and +14% ESS(lp)/s vs 8 once the fused sweep
-# made NUTS half the iteration (chip A/Bs, BENCH_NOTES parts 2/5)
-MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "7"))
+# against the Gibbs-moving conditional each halving of the cap won on
+# every metric down to 6 (2676 draws/s, ESS(sigma)/s 28.8); depth 5
+# still gains draws/s (2902) but ESS(sigma)/s falls to 17.6 — depth 6
+# is the min-ESS/s optimum (chip A/Bs, BENCH_NOTES parts 2/5)
+MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "6"))
 # opt-in exact sigma conditional Gibbs kernel (decouples sigma mixing from
 # NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
 SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
@@ -137,14 +138,24 @@ def main():
         state, _ = jax.lax.scan(body, state, jnp.arange(CHUNK))
         return state
 
-    sigma_row = prog.stan_names().index("aux.1")
+    names = prog.stan_names()
+    sigma_row = names.index("aux.1")
+    # slow-coordinate watchlist for min-ESS/s: a fixef, a ranef scale
+    # (first theta_L diagonal), and a ranef coefficient — aggressive
+    # treedepth caps must not hide a slow hierarchical coordinate
+    beta_row = next(i for i, n in enumerate(names) if n.startswith("beta"))
+    theta_row = next(i for i, n in enumerate(names)
+                     if n.startswith("theta_L"))
+    b_row = next(i for i, n in enumerate(names) if n.startswith("b."))
 
     def sample(state):
         def body(state, it):
             state, draw = prog.step(state, it, False)
-            # lp, stepsize, treedepth, n_leapfrog, sigma (telemetry)
+            # lp, stepsize, treedepth, n_leapfrog, watchlist (telemetry)
             return state, (draw.stan[0], draw.stan[2], draw.stan[3],
-                           draw.stan[4], draw.stan[sigma_row])
+                           draw.stan[4], draw.stan[sigma_row],
+                           draw.stan[beta_row], draw.stan[theta_row],
+                           draw.stan[b_row])
 
         return jax.lax.scan(body, state, jnp.arange(CHUNK))
 
@@ -186,17 +197,21 @@ def main():
     # min-ESS/s telemetry (BASELINE.json metric) on sigma and lp draws
     from stan4bart_tpu.parallel.diagnostics import ess
 
-    sig = np.concatenate([np.asarray(p[4]) for p in pieces], axis=1)
-    lps = np.concatenate([np.asarray(p[0]) for p in pieces], axis=1)
     ess_jit = jax.jit(ess)  # eager ops dispatch per-op through the tunnel
-    ess_sigma = float(ess_jit(sig.astype(np.float32)))
-    ess_lp = float(ess_jit(lps.astype(np.float32)))
+    watch = {"lp": 0, "sigma": 4, "beta": 5, "theta_L": 6, "b": 7}
+    ess_by = {
+        k: float(ess_jit(np.concatenate(
+            [np.asarray(p[i]) for p in pieces], axis=1).astype(np.float32)))
+        for k, i in watch.items()
+    }
+    min_name = min(ess_by, key=ess_by.get)
     print(
         f"# sampling stepsize={np.asarray(last[1]).mean():.2e} "
         f"treedepth={np.asarray(last[2]).mean():.2f} "
         f"n_leapfrog={np.asarray(last[3]).mean():.0f} "
-        f"ESS(sigma)/s={ess_sigma / elapsed:.2f} "
-        f"ESS(lp)/s={ess_lp / elapsed:.2f}",
+        + " ".join(f"ESS({k})/s={v / elapsed:.2f}"
+                   for k, v in ess_by.items())
+        + f" min-ESS/s={ess_by[min_name] / elapsed:.2f} ({min_name})",
         file=sys.stderr,
     )
 
