@@ -200,3 +200,35 @@ def test_gibbs_program_sweep_kernel_rejects_f64_and_weights():
         GibbsProgram(pm32, BartConfig(num_trees=3), mf.y, mf.bart_X,
                      weights=np.ones(60), warmup=2, iterations=2,
                      sweep_kernel=True, dtype=jnp.float32)
+
+
+def test_gibbs_program_sweep_kernel_probit():
+    """Binary/probit flow through the fused sweep: latents feed y_target
+    each substep and draws stay finite."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False, binary=True)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "binomial", {},
+                                      dtype=jnp.float32)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=4, node_scale=3.0), mf.y, mf.bart_X,
+        warmup=5, iterations=3, sweep_kernel=True, dtype=jnp.float32,
+    )
+    state = prog.init_state(jax.random.PRNGKey(0))
+    for i in range(5):
+        state, _ = prog.step(state, i, True)
+    for i in range(3):
+        state, draw = prog.step(state, i, False)
+    assert np.all(np.isfinite(np.asarray(state.bart.allfit)))
+    assert np.all(np.isfinite(np.asarray(state.latents)))
+    assert np.isfinite(float(draw.stan[0]))
