@@ -78,6 +78,12 @@ SKIP_BART = int(os.environ.get("BENCH_SKIP_BART", "1"))
 # wall clock).  Measured 764 -> 1740 draws/s, ESS(sigma)/s 5.5 -> 14.9,
 # ESS(lp)/s 2.0 -> 4.9 at the 64-chain headline (ops/bart_sweep_kernel)
 SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "1") == "1"
+# chain-blocked batch driver: run the Gibbs step batch-explicitly
+# (GibbsProgram.step_batched) with BENCH_CHAIN_BLOCK chains per sweep
+# grid step — amortizes the ~1.9us DMA floor + ~2.6us small-op issue
+# overhead that dominate the per-(chain, tree) grid step (ablation,
+# BENCH_NOTES).  0 = classic vmapped driver.
+CHAIN_BLOCK = int(os.environ.get("BENCH_CHAIN_BLOCK", "0"))
 
 
 def main():
@@ -161,9 +167,39 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)
     init_fn = jax.jit(jax.vmap(prog.init_state, axis_name="chains"))
-    warm_fn = jax.jit(jax.vmap(warmup_chunk, in_axes=(0, None),
-                               axis_name="chains"))
-    sample_fn = jax.jit(jax.vmap(sample, axis_name="chains"))
+    if CHAIN_BLOCK and SWEEP_KERNEL:
+        # batch-explicit driver: per-chain phases vmapped inside
+        # step_batched, the sweep chain-blocked across the whole batch
+        def warmup_chunk_b(states, it0):
+            def body(states, i):
+                states, _ = prog.step_batched(states, it0 + i, True,
+                                              chain_block=CHAIN_BLOCK)
+                return states, None
+
+            states, _ = jax.lax.scan(body, states, jnp.arange(CHUNK))
+            return states
+
+        def sample_b(states):
+            def body(states, it):
+                states, draw = prog.step_batched(states, it, False,
+                                                 chain_block=CHAIN_BLOCK)
+                return states, (draw.stan[:, 0], draw.stan[:, 2],
+                                draw.stan[:, 3], draw.stan[:, 4],
+                                draw.stan[:, sigma_row],
+                                draw.stan[:, beta_row],
+                                draw.stan[:, theta_row],
+                                draw.stan[:, b_row])
+
+            states, outs = jax.lax.scan(body, states, jnp.arange(CHUNK))
+            # scan stacks draws as (CHUNK, C); telemetry wants (C, CHUNK)
+            return states, tuple(jnp.transpose(o) for o in outs)
+
+        warm_fn = jax.jit(warmup_chunk_b)
+        sample_fn = jax.jit(sample_b)
+    else:
+        warm_fn = jax.jit(jax.vmap(warmup_chunk, in_axes=(0, None),
+                                   axis_name="chains"))
+        sample_fn = jax.jit(jax.vmap(sample, axis_name="chains"))
 
     def with_retry(fn, *args, tries=3, label=""):
         for attempt in range(tries):

@@ -415,10 +415,13 @@ class GibbsProgram:
         x_new = jnp.where(done, x_new, x0)
         return q.at[off].set(x_new)
 
-    def step(self, state: GibbsState, it, is_warmup: bool):
-        """One Gibbs iteration (init.cpp:752-917).  ``it`` is the iteration
-        index within the phase; is_warmup is static."""
-        pm, cfg = self.pm, self.bart_cfg
+    def _pre_sweep(self, state: GibbsState, it, is_warmup: bool):
+        """Everything before the BART sweep(s): NUTS/VI transition(s),
+        optional sigma-Gibbs, parametric mean -> BART offset, warmup
+        leaf-scale rescale.  Split out so ``step_batched`` can run it
+        under vmap and hand ALL chains to one chain-blocked sweep
+        kernel; ``step`` recomposes the identical per-chain sequence."""
+        pm = self.pm
         rng, rng_stan, rng_bart, rng_lat = jax.random.split(state.rng, 4)
 
         # ---- (1) Stan/NUTS transitions on the current conditional ------
@@ -488,6 +491,16 @@ class GibbsProgram:
                                    bart_state.sigma_mu)
             )
 
+        return (nuts, info, vi, bart_state, bart_offset, sigma, rng,
+                rng_bart)
+
+    def step(self, state: GibbsState, it, is_warmup: bool):
+        """One Gibbs iteration (init.cpp:752-917).  ``it`` is the iteration
+        index within the phase; is_warmup is static."""
+        cfg = self.bart_cfg
+        (nuts, info, vi, bart_state, bart_offset, sigma, rng,
+         rng_bart) = self._pre_sweep(state, it, is_warmup)
+
         # ---- (4) BART sweeps (probit: latents first) ---------------------
         latents = state.latents
 
@@ -522,6 +535,14 @@ class GibbsProgram:
             0, self.skip_bart, bart_substep,
             (bart_state, latents, varcount0),
         )
+
+        return self._post_sweep(nuts, info, vi, bart_state, bart_offset,
+                                latents, varcount, rng)
+
+    def _post_sweep(self, nuts, info, vi, bart_state, bart_offset,
+                    latents, varcount, rng):
+        """BART fit -> Stan offset, then draw packaging (per chain)."""
+        pm, cfg = self.pm, self.bart_cfg
 
         # ---- (5) BART fit -> Stan offset ---------------------------------
         bart_fit = bart_state.allfit
@@ -562,6 +583,60 @@ class GibbsProgram:
                 tree_leaf_value=jnp.zeros((0, 0), dtype=self.dtype),
             )
         return new_state, draw
+
+    def step_batched(self, states: GibbsState, it, is_warmup: bool,
+                     chain_block: int = 8):
+        """Batch-explicit Gibbs iteration over ALL chains: the per-chain
+        phases run under ``vmap`` (collectives over axis "chains" keep
+        working), while the BART sweep runs as ONE chain-blocked fused
+        kernel across the whole batch.
+
+        Motivation (chip ablation, BENCH_NOTES): the per-(chain, tree)
+        grid step of the vmapped sweep kernel costs ~4.6 us of which
+        ~1.9 us is the block-DMA/grid floor and ~2.6 us is issue
+        overhead of the many small (1, 128)/(1, NPAD) ops — compute is
+        essentially free.  Processing ``chain_block`` chains per grid
+        step amortizes both.
+
+        Semantics are identical to ``vmap(step)``: the same per-chain
+        RNG stream feeds the sweep via the variates contract.
+        """
+        if self.sweep_consts is None:
+            raise ValueError("step_batched requires sweep_kernel=True")
+        cfg = self.bart_cfg
+
+        pre = jax.vmap(
+            lambda s: self._pre_sweep(s, it, is_warmup),
+            axis_name="chains",
+        )
+        (nuts, info, vi, bart_state, bart_offset, sigma, rng,
+         rng_bart) = pre(states)
+
+        from .ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+        latents = states.latents
+        varcount = None
+        for j in range(self.skip_bart):
+            rng_j = jax.vmap(lambda k: jax.random.fold_in(k, j))(rng_bart)
+            if self.is_binary:
+                rs = jax.vmap(jax.random.split)(rng_j)
+                rng_j, rng_z = rs[:, 0], rs[:, 1]
+                latents = jax.vmap(
+                    lambda af, off, rz: bart_ops.sample_probit_latents(
+                        af + off, self.y, rz, self.dtype)
+                )(bart_state.allfit, bart_offset, rng_z)
+                y_target = latents - bart_offset
+            else:
+                y_target = self.y[None, :] - bart_offset
+            bart_state, varcount = bart_sweep_fused_batch(
+                cfg, bart_state, y_target, self.sweep_consts, sigma,
+                rng_j, chain_block=chain_block,
+                interpret=self.sweep_interpret,
+            )
+
+        post = jax.vmap(self._post_sweep, axis_name="chains")
+        return post(nuts, info, vi, bart_state, bart_offset, latents,
+                    varcount, rng)
 
     # ------------------------------------------------------------------
 

@@ -118,13 +118,212 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
     )
 
 
-def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
+def _tree_step_math(cfg: BartConfig, p_feat: int,
+                    featf, cutf, lidx, r,
+                    sigma2, tau2, u_move, u_leaf, u_nog, u_var, u_cut,
+                    u_acc, zn, ranks, spcum, psplit_row, depths_row):
+    """One grow/prune/change MH step + conjugate leaf draws, vectorized
+    over a leading chain dimension CB (CB = 1 for the vmapped per-chain
+    kernel, CB = chain_block for the batch kernel).
+
+    featf/cutf: (CB, 128) f32; lidx: (CB, NPAD) int32; r: (CB, NPAD)
+    partial residual; sigma2/tau2/u_*: scalar or (CB, 1); zn: (CB, 128).
+    Returns (featf', cutf', lidx', lv_new, new_fit) with the same
+    leading dimension.
+    """
     f32 = jnp.float32
     n_cuts = float(cfg.n_cuts)
     p_grow = float(cfg.p_grow)
     p_prune = float(cfg.p_prune)
     max_depth = float(cfg.max_depth)
     eps = 1e-12
+    cb = featf.shape[0]
+    lidx_f = lidx.astype(f32)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 1)
+    iota_row = jax.lax.broadcasted_iota(
+        jnp.int32, (1, NODE_PAD), 1).astype(f32)
+
+    # heap child values via one-hot contraction (no gathers on TPU):
+    # GL[j, i] = [j == 2i+1]  =>  (featf @ GL)[i] = feature[2i+1]
+    GL = (iota_r == 2 * iota_c + 1).astype(f32)
+    GR = (iota_r == 2 * iota_c + 2).astype(f32)
+    TRI = (iota_r <= iota_c).astype(f32)     # inclusive-cumsum operand
+    fl = jnp.dot(featf, GL, preferred_element_type=f32)
+    fr = jnp.dot(featf, GR, preferred_element_type=f32)
+
+    is_leaf = (featf == float(LEAF)).astype(f32)
+    is_internal = (featf >= 0.0).astype(f32)
+    is_nog = is_internal * (fl == float(LEAF)).astype(f32) \
+        * (fr == float(LEAF)).astype(f32)
+    n_leaf = jnp.sum(is_leaf, axis=1, keepdims=True)     # (CB, 1)
+    n_nog = jnp.sum(is_nog, axis=1, keepdims=True)
+
+    one = jnp.ones_like(u_move)
+    gf = jnp.where(u_move < p_grow, one, 0.0 * one)
+    pf = jnp.where(
+        (u_move >= p_grow) & (u_move < p_grow + p_prune), one, 0.0 * one)
+    cf = 1.0 - gf - pf
+
+    # proposal draws ------------------------------------------------
+    v_new = jnp.minimum(
+        jnp.sum((spcum <= u_var).astype(f32), axis=1, keepdims=True),
+        float(p_feat - 1),
+    )                                                    # (CB, 1)
+    c_new = jnp.minimum(jnp.floor(u_cut * n_cuts), n_cuts - 1.0)
+    iota_p = jax.lax.broadcasted_iota(
+        jnp.int32, (1, p_feat), 1).astype(f32)
+    vone = (iota_p == v_new).astype(f32)                 # (CB, P)
+    rank_v = jnp.dot(vone, ranks,
+                     preferred_element_type=f32)         # (CB, NPAD)
+    go_left_new = (rank_v <= c_new).astype(f32)
+    log_u = jnp.log(jnp.maximum(u_acc, 1e-30))
+
+    # node picks: uniform over marked entries via MXU cumsum --------
+    def pick(mask_f, count, u):
+        target = jnp.minimum(jnp.floor(u * count),
+                             jnp.maximum(count - 1.0, 0.0))
+        csum = jnp.dot(mask_f, TRI, preferred_element_type=f32)
+        return jnp.sum((csum <= target).astype(f32), axis=1,
+                       keepdims=True)                    # (CB, 1)
+
+    eta_grow = pick(is_leaf, n_leaf, u_leaf)
+    eta_pc = pick(is_nog, jnp.maximum(n_nog, 1.0), u_nog)
+    eta = gf * eta_grow + (1.0 - gf) * eta_pc            # (CB, 1)
+    lft = jnp.minimum(2.0 * eta + 1.0, float(NODE_PAD - 1))
+    rgt = jnp.minimum(2.0 * eta + 2.0, float(NODE_PAD - 1))
+
+    d_eta = (iota_row == eta).astype(f32)                # (CB, 128)
+    d_lft = (iota_row == lft).astype(f32)
+    d_rgt = (iota_row == rgt).astype(f32)
+
+    d = jnp.sum(depths_row * d_eta, axis=1, keepdims=True)
+    # p_split at depth d and d+1 (psplit_row is indexed BY DEPTH)
+    dd = jnp.minimum(d + 1.0, max_depth + 1.0)
+    ps_d = jnp.sum(psplit_row * (iota_row == d).astype(f32),
+                   axis=1, keepdims=True)
+    ps_d1 = jnp.sum(psplit_row * (iota_row == dd).astype(f32),
+                    axis=1, keepdims=True)
+
+    # membership & masked sufficient statistics --------------------
+    eta_i = eta.astype(jnp.int32)
+    lft_i = lft.astype(jnp.int32)
+    rgt_i = rgt.astype(jnp.int32)
+    me = (lidx == eta_i).astype(f32)                     # (CB, NPAD)
+    ml = (lidx == lft_i).astype(f32)
+    mr = (lidx == rgt_i).astype(f32)
+    members = gf * me + (1.0 - gf) * (ml + mr)
+
+    n_all = jnp.sum(members, axis=1, keepdims=True)
+    s_all = jnp.sum(members * r, axis=1, keepdims=True)
+    mln = members * go_left_new
+    n_ln = jnp.sum(mln, axis=1, keepdims=True)
+    s_ln = jnp.sum(mln * r, axis=1, keepdims=True)
+    n_lo = jnp.sum(ml, axis=1, keepdims=True)
+    s_lo = jnp.sum(ml * r, axis=1, keepdims=True)
+    n_rn = n_all - n_ln
+    s_rn = s_all - s_ln
+    n_ro = n_all - n_lo
+    s_ro = s_all - s_lo
+
+    def marg(n, s):
+        denom = sigma2 + n * tau2
+        return (0.5 * jnp.log(sigma2 / denom)
+                + tau2 * s * s / (2.0 * sigma2 * denom))
+
+    m_all = marg(n_all, s_all)
+    m_ln = marg(n_ln, s_ln)
+    m_rn = marg(n_rn, s_rn)
+    m_lo = marg(n_lo, s_lo)
+    m_ro = marg(n_ro, s_ro)
+
+    # structure prior + transition terms (all log args clamped >0
+    # so invalid branches stay FINITE — they blend with weight 0) --
+    split_term = (jnp.log(jnp.maximum(ps_d, eps))
+                  + 2.0 * jnp.log1p(-ps_d1)
+                  - jnp.log1p(-jnp.minimum(ps_d, 1.0 - eps)))
+    parent = jnp.maximum(jnp.floor((eta - 1.0) / 2.0), 0.0)
+    d_par = (iota_row == parent).astype(f32)
+    parent_was_nog = jnp.sum(is_nog * d_par, axis=1, keepdims=True) \
+        * (eta > 0.0).astype(f32)
+    n_nog_grow = jnp.maximum(n_nog + 1.0 - parent_was_nog, 1.0)
+    log_trans_grow = (np.log(p_prune) - np.log(p_grow)
+                      + jnp.log(jnp.maximum(n_leaf, 1.0))
+                      - jnp.log(n_nog_grow))
+    log_trans_prune = (np.log(p_grow) - np.log(p_prune)
+                       + jnp.log(jnp.maximum(n_nog, 1.0))
+                       - jnp.log(jnp.maximum(n_leaf - 1.0, 1.0)))
+
+    la_grow = split_term + log_trans_grow + (m_ln + m_rn - m_all)
+    la_prune = -split_term + log_trans_prune + (m_all - m_lo - m_ro)
+    la_change = m_ln + m_rn - m_lo - m_ro
+    log_accept = gf * la_grow + pf * la_prune + cf * la_change
+
+    valid_grow = ((d < max_depth).astype(f32)
+                  * (n_ln > 0.0).astype(f32)
+                  * (n_rn > 0.0).astype(f32))
+    valid_prune = (n_nog > 0.0).astype(f32)
+    valid_change = (valid_prune * (n_ln > 0.0).astype(f32)
+                    * (n_rn > 0.0).astype(f32))
+    valid = gf * valid_grow + pf * valid_prune + cf * valid_change
+    acc = valid * (log_u < log_accept).astype(f32)       # (CB, 1)
+
+    # blended tree update ------------------------------------------
+    f_eta_new = pf * float(LEAF) + (1.0 - pf) * v_new
+    f_child_new = pf * float(INACTIVE) + (1.0 - pf) * float(LEAF)
+    new_feat = (featf * (1.0 - d_eta - d_lft - d_rgt)
+                + f_eta_new * d_eta + f_child_new * (d_lft + d_rgt))
+    c_eta_cur = jnp.sum(cutf * d_eta, axis=1, keepdims=True)
+    c_eta_new = pf * c_eta_cur + (1.0 - pf) * c_new
+    new_cut = cutf * (1.0 - d_eta) + c_eta_new * d_eta
+    dest = (pf * eta
+            + (1.0 - pf) * (go_left_new * lft
+                            + (1.0 - go_left_new) * rgt))
+    new_lidx_f = members * dest + (1.0 - members) * lidx_f
+
+    featf = acc * new_feat + (1.0 - acc) * featf
+    cutf = acc * new_cut + (1.0 - acc) * cutf
+    lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
+    lidx = lidx_f.astype(jnp.int32)
+
+    # conjugate leaf draws + fitted values -------------------------
+    # membership one-hot M[node, obs] per chain: generated once,
+    # lane-reduced for the sufficient statistics, reused as the MXU
+    # operand for the fit lookup.  ONE per-chain loop so only a single
+    # (128, NPAD) one-hot is live at a time — a two-loop version kept
+    # all CB one-hots on the Mosaic stack simultaneously and OOM'd
+    # scoped VMEM at CB=8 (44.7M vs the 16M limit).
+    # (A hi/lo-factored variant measured NEUTRAL and was deleted —
+    # git history b8e68d0.)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
+    sig2 = jnp.broadcast_to(jnp.asarray(sigma2, f32).reshape(-1, 1),
+                            (cb, 1))
+    tau2r = jnp.broadcast_to(jnp.asarray(tau2, f32).reshape(-1, 1),
+                             (cb, 1))
+    lv_rows = []
+    fit_rows = []
+    for j in range(cb):
+        Mm_j = (iota_col == lidx[j:j + 1, :]).astype(f32)  # (128, NPAD)
+        counts_j = jnp.transpose(
+            jnp.sum(Mm_j, axis=1, keepdims=True))          # (1, 128)
+        sums_j = jnp.transpose(
+            jnp.sum(Mm_j * r[j:j + 1, :], axis=1, keepdims=True))
+        pv_j = 1.0 / (counts_j / sig2[j:j + 1] + 1.0 / tau2r[j:j + 1])
+        pm_j = pv_j * sums_j / sig2[j:j + 1]
+        mu_j = pm_j + jnp.sqrt(pv_j) * zn[j:j + 1, :]
+        lv_j = jnp.where(featf[j:j + 1, :] == float(LEAF), mu_j, 0.0)
+        fit_rows.append(jnp.dot(lv_j, Mm_j, preferred_element_type=f32))
+        lv_rows.append(lv_j)
+    lv_new = (lv_rows[0] if cb == 1
+              else jnp.concatenate(lv_rows, axis=0))        # (CB, 128)
+    new_fit = (fit_rows[0] if cb == 1
+               else jnp.concatenate(fit_rows, axis=0))      # (CB, NPAD)
+    return featf, cutf, lidx, lv_new, new_fit
+
+
+def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
+    f32 = jnp.float32
 
     def kernel(scal_ref, u_ref,
                feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
@@ -141,195 +340,20 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
         def _():
             resid_s[:, :] = resid0_ref[:, :]
 
-        sigma2 = scal_ref[0, 0]
-        tau2 = scal_ref[0, 1]
-        u_move = u_ref[t, 0]
-        u_leaf = u_ref[t, 1]
-        u_nog = u_ref[t, 2]
-        u_var = u_ref[t, 3]
-        u_cut = u_ref[t, 4]
-        u_acc = u_ref[t, 5]
-
         R = resid_s[:, :]                       # (1, NPAD) full residual
         old_fit = tfit_ref[0]                   # (1, NPAD) this tree's fit
         r = R + old_fit                         # partial residual
 
-        featf = feature_ref[0].astype(f32)      # (1, 128)
-        cutf = cut_ref[0].astype(f32)
-        lidx = lidx_ref[0]                      # (1, NPAD) int32
-        lidx_f = lidx.astype(f32)
-
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 1)
-        iota_row = jax.lax.broadcasted_iota(
-            jnp.int32, (1, NODE_PAD), 1).astype(f32)
-
-        # heap child values via one-hot contraction (no gathers on TPU):
-        # GL[j, i] = [j == 2i+1]  =>  (featf @ GL)[i] = feature[2i+1]
-        GL = (iota_r == 2 * iota_c + 1).astype(f32)
-        GR = (iota_r == 2 * iota_c + 2).astype(f32)
-        TRI = (iota_r <= iota_c).astype(f32)     # inclusive-cumsum operand
-        fl = jnp.dot(featf, GL, preferred_element_type=f32)
-        fr = jnp.dot(featf, GR, preferred_element_type=f32)
-
-        is_leaf = (featf == float(LEAF)).astype(f32)
-        is_internal = (featf >= 0.0).astype(f32)
-        is_nog = is_internal * (fl == float(LEAF)).astype(f32) \
-            * (fr == float(LEAF)).astype(f32)
-        n_leaf = jnp.sum(is_leaf, axis=1, keepdims=True)     # (1,1)
-        n_nog = jnp.sum(is_nog, axis=1, keepdims=True)
-
-        gf = jnp.where(u_move < p_grow, 1.0, 0.0)            # scalar 0/1
-        pf = jnp.where(
-            (u_move >= p_grow) & (u_move < p_grow + p_prune), 1.0, 0.0)
-        cf = 1.0 - gf - pf
-
-        # proposal draws ------------------------------------------------
-        spcum = spcum_ref[:, :]                              # (1, P)
-        v_new = jnp.minimum(
-            jnp.sum((spcum <= u_var).astype(f32), axis=1, keepdims=True),
-            float(p_feat - 1),
-        )                                                    # (1,1)
-        c_new = jnp.minimum(jnp.floor(u_cut * n_cuts), n_cuts - 1.0)
-        iota_p = jax.lax.broadcasted_iota(
-            jnp.int32, (1, p_feat), 1).astype(f32)
-        vone = (iota_p == v_new).astype(f32)                 # (1, P)
-        rank_v = jnp.dot(vone, ranks_ref[:, :],
-                         preferred_element_type=f32)         # (1, NPAD)
-        go_left_new = (rank_v <= c_new).astype(f32)
-        log_u = jnp.log(jnp.maximum(u_acc, 1e-30))
-
-        # node picks: uniform over marked entries via MXU cumsum --------
-        def pick(mask_f, count, u):
-            target = jnp.minimum(jnp.floor(u * count),
-                                 jnp.maximum(count - 1.0, 0.0))
-            csum = jnp.dot(mask_f, TRI, preferred_element_type=f32)
-            return jnp.sum((csum <= target).astype(f32), axis=1,
-                           keepdims=True)                    # (1,1)
-
-        eta_grow = pick(is_leaf, n_leaf, u_leaf)
-        eta_pc = pick(is_nog, jnp.maximum(n_nog, 1.0), u_nog)
-        eta = gf * eta_grow + (1.0 - gf) * eta_pc            # (1,1)
-        lft = jnp.minimum(2.0 * eta + 1.0, float(NODE_PAD - 1))
-        rgt = jnp.minimum(2.0 * eta + 2.0, float(NODE_PAD - 1))
-
-        d_eta = (iota_row == eta).astype(f32)                # (1,128)
-        d_lft = (iota_row == lft).astype(f32)
-        d_rgt = (iota_row == rgt).astype(f32)
-
-        depths_row = depths_ref[:, :]
-        psplit_row = psplit_ref[:, :]
-        d = jnp.sum(depths_row * d_eta, axis=1, keepdims=True)
-        # p_split at depth d and d+1 (psplit_row is indexed BY DEPTH)
-        dd = jnp.minimum(d + 1.0, max_depth + 1.0)
-        ps_d = jnp.sum(psplit_row * (iota_row == d).astype(f32),
-                       axis=1, keepdims=True)
-        ps_d1 = jnp.sum(psplit_row * (iota_row == dd).astype(f32),
-                        axis=1, keepdims=True)
-
-        # membership & masked sufficient statistics --------------------
-        eta_i = eta.astype(jnp.int32)
-        lft_i = lft.astype(jnp.int32)
-        rgt_i = rgt.astype(jnp.int32)
-        me = (lidx == eta_i).astype(f32)                     # (1, NPAD)
-        ml = (lidx == lft_i).astype(f32)
-        mr = (lidx == rgt_i).astype(f32)
-        members = gf * me + (1.0 - gf) * (ml + mr)
-
-        n_all = jnp.sum(members, axis=1, keepdims=True)
-        s_all = jnp.sum(members * r, axis=1, keepdims=True)
-        mln = members * go_left_new
-        n_ln = jnp.sum(mln, axis=1, keepdims=True)
-        s_ln = jnp.sum(mln * r, axis=1, keepdims=True)
-        n_lo = jnp.sum(ml, axis=1, keepdims=True)
-        s_lo = jnp.sum(ml * r, axis=1, keepdims=True)
-        n_rn = n_all - n_ln
-        s_rn = s_all - s_ln
-        n_ro = n_all - n_lo
-        s_ro = s_all - s_lo
-
-        def marg(n, s):
-            denom = sigma2 + n * tau2
-            return (0.5 * jnp.log(sigma2 / denom)
-                    + tau2 * s * s / (2.0 * sigma2 * denom))
-
-        m_all = marg(n_all, s_all)
-        m_ln = marg(n_ln, s_ln)
-        m_rn = marg(n_rn, s_rn)
-        m_lo = marg(n_lo, s_lo)
-        m_ro = marg(n_ro, s_ro)
-
-        # structure prior + transition terms (all log args clamped >0
-        # so invalid branches stay FINITE — they blend with weight 0) --
-        split_term = (jnp.log(jnp.maximum(ps_d, eps))
-                      + 2.0 * jnp.log1p(-ps_d1)
-                      - jnp.log1p(-jnp.minimum(ps_d, 1.0 - eps)))
-        f_eta = jnp.sum(featf * d_eta, axis=1, keepdims=True)
-        parent = jnp.maximum(jnp.floor((eta - 1.0) / 2.0), 0.0)
-        d_par = (iota_row == parent).astype(f32)
-        parent_was_nog = jnp.sum(is_nog * d_par, axis=1, keepdims=True) \
-            * jnp.where(jnp.sum(eta) == 0.0, 0.0, 1.0)
-        n_nog_grow = jnp.maximum(n_nog + 1.0 - parent_was_nog, 1.0)
-        log_trans_grow = (np.log(p_prune) - np.log(p_grow)
-                          + jnp.log(jnp.maximum(n_leaf, 1.0))
-                          - jnp.log(n_nog_grow))
-        log_trans_prune = (np.log(p_grow) - np.log(p_prune)
-                           + jnp.log(jnp.maximum(n_nog, 1.0))
-                           - jnp.log(jnp.maximum(n_leaf - 1.0, 1.0)))
-
-        la_grow = split_term + log_trans_grow + (m_ln + m_rn - m_all)
-        la_prune = -split_term + log_trans_prune + (m_all - m_lo - m_ro)
-        la_change = m_ln + m_rn - m_lo - m_ro
-        log_accept = gf * la_grow + pf * la_prune + cf * la_change
-
-        valid_grow = ((d < max_depth).astype(f32)
-                      * (n_ln > 0.0).astype(f32)
-                      * (n_rn > 0.0).astype(f32))
-        valid_prune = (n_nog > 0.0).astype(f32)
-        valid_change = (valid_prune * (n_ln > 0.0).astype(f32)
-                        * (n_rn > 0.0).astype(f32))
-        valid = gf * valid_grow + pf * valid_prune + cf * valid_change
-        acc = valid * (log_u < log_accept).astype(f32)       # (1,1)
-
-        # blended tree update ------------------------------------------
-        f_eta_new = pf * float(LEAF) + (1.0 - pf) * v_new
-        f_child_new = pf * float(INACTIVE) + (1.0 - pf) * float(LEAF)
-        new_feat = (featf * (1.0 - d_eta - d_lft - d_rgt)
-                    + f_eta_new * d_eta + f_child_new * (d_lft + d_rgt))
-        c_eta_cur = jnp.sum(cutf * d_eta, axis=1, keepdims=True)
-        c_eta_new = pf * c_eta_cur + (1.0 - pf) * c_new
-        new_cut = cutf * (1.0 - d_eta) + c_eta_new * d_eta
-        dest = (pf * eta
-                + (1.0 - pf) * (go_left_new * lft
-                                + (1.0 - go_left_new) * rgt))
-        new_lidx_f = members * dest + (1.0 - members) * lidx_f
-
-        featf = acc * new_feat + (1.0 - acc) * featf
-        cutf = acc * new_cut + (1.0 - acc) * cutf
-        lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
-        lidx = lidx_f.astype(jnp.int32)
-
-        # conjugate leaf draws + fitted values -------------------------
-        # membership one-hot M[node, obs]: generated once, lane-reduced
-        # for the sufficient statistics, reused as the MXU operand for
-        # the fit lookup.  A hi/lo-factored variant (node = hi*8+lo,
-        # (16, N) x (8, N) operands, ~5x less one-hot traffic) was
-        # built, parity-tested, and measured NEUTRAL on-chip
-        # (4.77 vs 4.60 us/chain/tree) — the sweep step is not
-        # generation-bound; deleted per win-or-delete (git history
-        # b8e68d0 has the source)
-        iota_col = jax.lax.broadcasted_iota(jnp.int32,
-                                            (NODE_PAD, 1), 0)
-        Mm = (iota_col == lidx).astype(f32)                  # (128, NPAD)
-        counts_c = jnp.sum(Mm, axis=1, keepdims=True)        # (128, 1)
-        sums_c = jnp.sum(Mm * r, axis=1, keepdims=True)
-        counts = jnp.transpose(counts_c)                     # (1, 128)
-        sums = jnp.transpose(sums_c)
-        post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
-        post_mean = post_var * sums / sigma2
-        mu = post_mean + jnp.sqrt(post_var) * zn_ref[0]
-        lv_new = jnp.where(featf == float(LEAF), mu, 0.0)
-        new_fit = jnp.dot(lv_new, Mm, preferred_element_type=f32)
+        featf, cutf, lidx, lv_new, new_fit = _tree_step_math(
+            cfg, p_feat,
+            feature_ref[0].astype(f32), cut_ref[0].astype(f32),
+            lidx_ref[0], r,
+            scal_ref[0, 0], scal_ref[0, 1],
+            u_ref[t, 0], u_ref[t, 1], u_ref[t, 2], u_ref[t, 3],
+            u_ref[t, 4], u_ref[t, 5],
+            zn_ref[0], ranks_ref[:, :], spcum_ref[:, :],
+            psplit_ref[:, :], depths_ref[:, :],
+        )
 
         R_new = R + old_fit - new_fit
         resid_s[:, :] = R_new
@@ -480,4 +504,224 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
         tree_fit=tree_fit,
     )
     varcount = count_variable_use(cfg, feature, consts.spcum.shape[1])
+    return new_state, varcount
+
+
+def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int):
+    f32 = jnp.float32
+
+    def kernel(scal_ref, u_ref,
+               feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
+               resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
+               zn_ref,
+               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+               resid_s):
+        # grid = (chain_blocks, trees); trees iterate fastest
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            resid_s[:, :] = resid0_ref[0]
+
+        scal = scal_ref[0]                       # (CB, 2)
+        u = u_ref[0, 0]                          # (CB, 8)
+        R = resid_s[:, :]                        # (CB, NPAD)
+        old_fit = tfit_ref[0, 0]                 # (CB, NPAD)
+        r = R + old_fit
+
+        featf, cutf, lidx, lv_new, new_fit = _tree_step_math(
+            cfg, p_feat,
+            feature_ref[0, 0].astype(f32), cut_ref[0, 0].astype(f32),
+            lidx_ref[0, 0], r,
+            scal[:, 0:1], scal[:, 1:2],
+            u[:, 0:1], u[:, 1:2], u[:, 2:3], u[:, 3:4], u[:, 4:5],
+            u[:, 5:6],
+            zn_ref[0, 0], ranks_ref[:, :], spcum_ref[:, :],
+            psplit_ref[:, :], depths_ref[:, :],
+        )
+
+        R_new = R + old_fit - new_fit
+        resid_s[:, :] = R_new
+        resid_o[0] = R_new
+        feature_o[0, 0] = featf.astype(jnp.int32)
+        cut_o[0, 0] = cutf.astype(jnp.int32)
+        lv_o[0, 0] = lv_new
+        lidx_o[0, 0] = lidx
+        tfit_o[0, 0] = new_fit
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_obs", "npad", "cb", "interpret"),
+)
+def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
+                      resid0, ranks_f, spcum, psplit, depths, u, zn,
+                      scal, n_obs: int, npad: int, cb: int,
+                      interpret: bool):
+    T = cfg.num_trees
+    P = ranks_f.shape[0]
+    cblk = featp.shape[0]
+    f32 = jnp.float32
+
+    tree4 = lambda c, t: (c, t, 0, 0)   # noqa: E731
+    chain3 = lambda c, t: (c, 0, 0)     # noqa: E731
+    const2 = lambda c, t: (0, 0)        # noqa: E731
+
+    kernel = _make_batch_kernel(cfg, npad, P, cb)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(cblk, T),
+        in_specs=[
+            pl.BlockSpec((1, cb, 2), chain3),                    # scal
+            pl.BlockSpec((1, 1, cb, 8), tree4),                  # u
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # feature
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # cut
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # lv
+            pl.BlockSpec((1, 1, cb, npad), tree4),               # lidx
+            pl.BlockSpec((1, 1, cb, npad), tree4),               # tfit
+            pl.BlockSpec((1, cb, npad), chain3),                 # resid0
+            pl.BlockSpec((P, npad), const2),                     # ranks
+            pl.BlockSpec((1, P), const2),                        # spcum
+            pl.BlockSpec((1, NODE_PAD), const2),                 # psplit
+            pl.BlockSpec((1, NODE_PAD), const2),                 # depths
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # zn
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, 1, cb, npad), tree4),
+            pl.BlockSpec((1, 1, cb, npad), tree4),
+            pl.BlockSpec((1, cb, npad), chain3),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), f32),
+            jax.ShapeDtypeStruct((cblk, T, cb, npad), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T, cb, npad), f32),
+            jax.ShapeDtypeStruct((cblk, cb, npad), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((cb, npad), f32)],
+        interpret=interpret,
+    )(scal, u, featp, cutp, lvp, lidxp, tfitp, resid0,
+      ranks_f, spcum, psplit, depths, zn)
+    return outs
+
+
+def _pick_chain_block(n_chains: int, chain_block: int) -> int:
+    cb = min(chain_block, n_chains)
+    while n_chains % cb:
+        cb -= 1
+    return cb
+
+
+def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
+                           consts: SweepConsts, sigma, rng, *,
+                           chain_block: int = 8, variates=None,
+                           interpret: bool = False):
+    """Chain-blocked fused sweep over a BATCHED BartState (leading chain
+    axis): grid = (chains/CB, trees), CB chains per grid step.
+
+    Chip ablation (BENCH_NOTES): the per-(chain, tree) grid step of the
+    vmapped kernel costs ~4.6 us, of which ~1.9 us is the block-DMA/grid
+    floor and ~2.6 us is small-op issue overhead — compute is free.
+    Processing CB chains per step amortizes both: the same op count
+    drives CB x the lanes.
+
+    Same per-chain RNG streams as ``vmap(bart_sweep_fused)`` (the
+    variates are drawn with identical key splits), so results are
+    chain-for-chain comparable.  Returns (batched state, (C, P)
+    varcounts).
+    """
+    T, M = cfg.num_trees, cfg.max_nodes
+    N, NPAD = consts.n_obs, consts.npad
+    f32 = jnp.float32
+    C = state.feature.shape[0]
+    cb = _pick_chain_block(C, chain_block)
+    cblk = C // cb
+
+    if variates is None:
+        def draw(k):
+            ku, kz = jax.random.split(k)
+            return (jax.random.uniform(ku, (T, 8), dtype=f32),
+                    jax.random.normal(kz, (T, NODE_PAD), dtype=f32))
+
+        u, zn = jax.vmap(draw)(rng)              # (C, T, 8), (C, T, 128)
+    else:
+        u, zn = variates
+
+    def to_blocks(x):
+        # (C, T, X) -> (CBLK, T, CB, X)
+        return jnp.transpose(
+            x.reshape(cblk, cb, T, x.shape[-1]), (0, 2, 1, 3))
+
+    def from_blocks(x):
+        # (CBLK, T, CB, X) -> (C, T, X)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            C, T, x.shape[-1])
+
+    pad_nodes = ((0, 0), (0, 0), (0, NODE_PAD - M))
+    pad_obs = ((0, 0), (0, 0), (0, NPAD - N))
+    featp = to_blocks(jnp.pad(state.feature, pad_nodes,
+                              constant_values=INACTIVE))
+    cutp = to_blocks(jnp.pad(state.cut, pad_nodes))
+    lvp = to_blocks(jnp.pad(state.leaf_value.astype(f32), pad_nodes))
+    lidxp = to_blocks(jnp.pad(state.leaf_idx, pad_obs,
+                              constant_values=NODE_PAD - 1))
+    tfitp = to_blocks(jnp.pad(state.tree_fit.astype(f32), pad_obs))
+    resid0 = jnp.pad((y_target - state.allfit).astype(f32),
+                     ((0, 0), (0, NPAD - N))).reshape(cblk, cb, NPAD)
+    scal = jnp.stack([
+        (sigma * sigma).astype(f32),
+        (state.sigma_mu * state.sigma_mu).astype(f32),
+    ], axis=-1).reshape(cblk, cb, 2)
+    ub = to_blocks(u.astype(f32))
+    znb = to_blocks(zn.astype(f32))
+
+    feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_batch(
+        cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
+        consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
+        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb, interpret=interpret,
+    )
+
+    dtype = state.allfit.dtype
+    feature = from_blocks(feato)[:, :, :M]
+    cut = from_blocks(cuto)[:, :, :M]
+    leaf_value = from_blocks(lvo)[:, :, :M].astype(dtype)
+    leaf_idx = from_blocks(lidxo)[:, :, :N]
+    tree_fit = from_blocks(tfito)[:, :, :N].astype(dtype)
+    allfit = (y_target.astype(f32)
+              - resido.reshape(C, NPAD)[:, :N]).astype(dtype)
+
+    k = state.k
+    sigma_mu = state.sigma_mu
+    if cfg.k_df > 0:
+        def k_update(rng_c, feature_c, leaf_value_c, k_c, sigma_mu_c):
+            rng_k = jax.random.fold_in(rng_c, 0x6B)
+            is_leaf_all = feature_c == LEAF
+            m = jnp.sum(is_leaf_all.astype(dtype))
+            A = k_c * sigma_mu_c
+            ssq = jnp.sum(jnp.where(is_leaf_all, leaf_value_c, 0.0) ** 2)
+            rate = ssq / (2.0 * A * A)
+            if np.isfinite(cfg.k_scale):
+                rate = rate + 1.0 / (2.0 * cfg.k_scale ** 2)
+            shape = (cfg.k_df + m) / 2.0
+            g = jax.random.gamma(rng_k, shape, dtype=dtype) / rate
+            k_new = jnp.sqrt(g)
+            return k_new, A / k_new
+
+        k, sigma_mu = jax.vmap(k_update)(rng, feature, leaf_value,
+                                         state.k, state.sigma_mu)
+
+    new_state = BartState(
+        feature=feature, cut=cut, leaf_value=leaf_value,
+        leaf_idx=leaf_idx, allfit=allfit, k=k, sigma_mu=sigma_mu,
+        tree_fit=tree_fit,
+    )
+    varcount = jax.vmap(
+        lambda f: count_variable_use(cfg, f, consts.spcum.shape[1])
+    )(feature)
     return new_state, varcount

@@ -232,3 +232,87 @@ def test_gibbs_program_sweep_kernel_probit():
     assert np.all(np.isfinite(np.asarray(state.bart.allfit)))
     assert np.all(np.isfinite(np.asarray(state.latents)))
     assert np.isfinite(float(draw.stan[0]))
+
+
+def test_batch_kernel_matches_vmapped_kernel():
+    """Chain-blocked sweep == vmapped per-chain sweep on identical
+    variates (chain-for-chain), including non-divisor chain counts."""
+    from stan4bart_tpu.ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+    cfg, state, y, ranks, split_probs, consts = _setup()
+    sigma = jnp.asarray(0.7, jnp.float32)
+    C = 6
+    keys = jax.random.split(jax.random.PRNGKey(5), C)
+    u = jax.vmap(lambda k: jax.random.uniform(
+        k, (T, 8), dtype=jnp.float32))(keys)
+    zn = jax.vmap(lambda k: jax.random.normal(
+        k, (T, 128), dtype=jnp.float32))(keys)
+
+    def one(k, uu, zz):
+        s, vc = bart_sweep_fused(cfg, state, y, consts, sigma, k,
+                                 variates=(uu, zz), interpret=True)
+        return s, vc
+
+    sv, vcv = jax.vmap(one)(keys, u, zn)
+
+    sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape),
+                      state)
+    sigmas = jnp.full((C,), 0.7, jnp.float32)
+    # chain_block=4 does not divide 6 -> picker falls back to 3
+    s2, vc2 = bart_sweep_fused_batch(
+        cfg, sb, jnp.broadcast_to(y, (C,) + y.shape), consts, sigmas,
+        keys, chain_block=4, variates=(u, zn), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(sv.feature),
+                                  np.asarray(s2.feature))
+    np.testing.assert_array_equal(np.asarray(sv.cut), np.asarray(s2.cut))
+    np.testing.assert_array_equal(np.asarray(sv.leaf_idx),
+                                  np.asarray(s2.leaf_idx))
+    np.testing.assert_array_equal(np.asarray(vcv), np.asarray(vc2))
+    np.testing.assert_allclose(np.asarray(sv.leaf_value),
+                               np.asarray(s2.leaf_value),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sv.allfit),
+                               np.asarray(s2.allfit),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_step_batched_matches_vmapped_step():
+    """GibbsProgram.step_batched == vmap(GibbsProgram.step) given the
+    same chain states (identical RNG streams feed the sweep)."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=4), mf.y, mf.bart_X,
+        warmup=4, iterations=3, sweep_kernel=True, dtype=jnp.float32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    states = jax.vmap(prog.init_state)(keys)
+
+    sv = states
+    sb = states
+    for i in range(3):
+        sv, dv = jax.vmap(lambda s: prog.step(s, i, True),
+                          axis_name="chains")(sv)
+        sb, db = prog.step_batched(sb, i, True, chain_block=2)
+        np.testing.assert_array_equal(np.asarray(sv.bart.feature),
+                                      np.asarray(sb.bart.feature))
+        np.testing.assert_allclose(np.asarray(dv.stan),
+                                   np.asarray(db.stan),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sv.bart.allfit),
+                                   np.asarray(sb.bart.allfit),
+                                   rtol=1e-3, atol=1e-3)
