@@ -82,8 +82,8 @@ SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "1") == "1"
 # (GibbsProgram.step_batched) with BENCH_CHAIN_BLOCK chains per sweep
 # grid step — amortizes the ~1.9us DMA floor + ~2.6us small-op issue
 # overhead that dominate the per-(chain, tree) grid step (ablation,
-# BENCH_NOTES).  0 = classic vmapped driver.
-CHAIN_BLOCK = int(os.environ.get("BENCH_CHAIN_BLOCK", "0"))
+# BENCH_NOTES).  8 measured 2674 -> 3623 draws/s; 0 = vmapped driver.
+CHAIN_BLOCK = int(os.environ.get("BENCH_CHAIN_BLOCK", "8"))
 
 
 def main():

@@ -452,6 +452,15 @@ def stan4bart(
             bart_offset_init=boi, sigma_init=sigma_init,
             keep_warmup=True, callback=cb,
         )
+    elif prog.sweep_consts is not None and cb is None and chains > 1:
+        # batch-explicit driver: chain-blocked fused sweep across the
+        # whole chain batch (measured +35% over the vmapped driver at
+        # the 64-chain headline; BENCH_NOTES part 6)
+        run_all = jax.jit(lambda ks: prog.run_chains_batched(
+            ks, bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True,
+        ))
+        final_states, draws = run_all(keys)
     else:
         def run_one(key):
             return prog.run_chain(

@@ -770,17 +770,39 @@ class GibbsProgram:
 
             return jax.lax.scan(body, state, jnp.arange(n))
 
+        def chunk_batched(states, it0, n, is_warmup):
+            # batch-explicit driver (chain-blocked fused sweep): draws
+            # come out scan-stacked (n, C, ...) — swap to the (C, n, ...)
+            # layout the vmapped path produces
+            def body(states, i):
+                states, draw = self.step_batched(states, it0 + i,
+                                                 is_warmup)
+                return states, draw
+
+            states, draws = jax.lax.scan(body, states, jnp.arange(n))
+            draws = jax.tree_util.tree_map(
+                lambda a: jnp.swapaxes(a, 0, 1), draws)
+            return states, draws
+
         # axis_name binds the chain axis for pooled-adaptation collectives
         # (NutsConfig.pooled_axis="chains"); harmless when unused
         init_fn = jax.jit(jax.vmap(init_one, axis_name="chains"))
-        warm_fn = jax.jit(jax.vmap(
-            lambda s, it0, n: chunk(s, it0, n, True),
-            in_axes=(0, None, None), axis_name="chains"),
-            static_argnums=(2,))
-        samp_fn = jax.jit(jax.vmap(
-            lambda s, it0, n: chunk(s, it0, n, False),
-            in_axes=(0, None, None), axis_name="chains"),
-            static_argnums=(2,))
+        if self.sweep_consts is not None and callback is None:
+            warm_fn = jax.jit(
+                lambda s, it0, n: chunk_batched(s, it0, n, True),
+                static_argnums=(2,))
+            samp_fn = jax.jit(
+                lambda s, it0, n: chunk_batched(s, it0, n, False),
+                static_argnums=(2,))
+        else:
+            warm_fn = jax.jit(jax.vmap(
+                lambda s, it0, n: chunk(s, it0, n, True),
+                in_axes=(0, None, None), axis_name="chains"),
+                static_argnums=(2,))
+            samp_fn = jax.jit(jax.vmap(
+                lambda s, it0, n: chunk(s, it0, n, False),
+                in_axes=(0, None, None), axis_name="chains"),
+                static_argnums=(2,))
 
         states = init_fn(keys)
         pieces = []
@@ -799,6 +821,37 @@ class GibbsProgram:
             lambda *xs: np.concatenate(xs, axis=1), *pieces
         )
         return states, merged
+
+    def run_chains_batched(self, keys, bart_offset_init=None,
+                           sigma_init=1.0, keep_warmup: bool = True,
+                           chain_block: int = 8):
+        """All chains in one compiled program via the batch-explicit
+        step (chain-blocked fused sweep).  Same semantics and RNG
+        streams as ``vmap(run_chain)``; draws come back chain-major."""
+        states = jax.vmap(
+            lambda k: self.init_state(k, bart_offset_init, sigma_init)
+        )(keys)
+
+        def make_phase(is_warmup):
+            def body(states, it):
+                states, draw = self.step_batched(
+                    states, it, is_warmup, chain_block=chain_block)
+                return states, draw
+            return body
+
+        states, warm_draws = jax.lax.scan(
+            make_phase(True), states, jnp.arange(self.warmup))
+        states = self._disengage(states)
+        states, draws = jax.lax.scan(
+            make_phase(False), states, jnp.arange(self.iterations))
+        swap = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda a: jnp.swapaxes(a, 0, 1), t)
+        if keep_warmup:
+            return states, jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=1),
+                swap(warm_draws), swap(draws),
+            )
+        return states, swap(draws)
 
     def stan_names(self) -> list[str]:
         return [

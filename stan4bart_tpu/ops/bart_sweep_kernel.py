@@ -288,21 +288,25 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     lidx = lidx_f.astype(jnp.int32)
 
     # conjugate leaf draws + fitted values -------------------------
-    # membership one-hot M[node, obs] per chain: generated once,
-    # lane-reduced for the sufficient statistics, reused as the MXU
-    # operand for the fit lookup.  ONE per-chain loop so only a single
-    # (128, NPAD) one-hot is live at a time — a two-loop version kept
-    # all CB one-hots on the Mosaic stack simultaneously and OOM'd
-    # scoped VMEM at CB=8 (44.7M vs the 16M limit).
-    # (A hi/lo-factored variant measured NEUTRAL and was deleted —
-    # git history b8e68d0.)
-    iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
+    # Per-chain loop, one chain's (128, NPAD) membership one-hot live
+    # at a time: generated once, lane-reduced for the sufficient
+    # statistics, reused as the MXU operand for the fit lookup.
+    # (A two-loop version kept all CB one-hots alive and OOM'd Mosaic's
+    # 16M scoped VMEM.  A hi/lo-factored variant — node = hi*8+lo,
+    # (16, NPAD) x (8, NPAD) operands, ~5x less generated traffic —
+    # was built TWICE and measured SLOWER both times: 4.77 vs 4.60
+    # us/chain/tree in the overhead-dominated vmapped regime, and 3292
+    # vs 3623 draws/s in the chain-blocked regime where the stats loop
+    # dominates; the extra permutation matmuls, skinny transposes, and
+    # row<->grid conversions cost more than the generation they save.
+    # Do not retry; source in git history.)
     sig2 = jnp.broadcast_to(jnp.asarray(sigma2, f32).reshape(-1, 1),
                             (cb, 1))
     tau2r = jnp.broadcast_to(jnp.asarray(tau2, f32).reshape(-1, 1),
                              (cb, 1))
     lv_rows = []
     fit_rows = []
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
     for j in range(cb):
         Mm_j = (iota_col == lidx[j:j + 1, :]).astype(f32)  # (128, NPAD)
         counts_j = jnp.transpose(
