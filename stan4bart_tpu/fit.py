@@ -329,14 +329,23 @@ def stan4bart(
     )
     if sweep_kernel is None:
         # default the fused Pallas sweep ON where it is Mosaic-compiled
-        # and eligible (measured 2.3x draws/s at the n=10k headline);
-        # off-TPU the kernel would run interpreted — keep the XLA scan
+        # and eligible (the production headline path: 4.7x draws/s with
+        # the chain-blocked batch driver); off-TPU the kernel would run
+        # interpreted, and chain dispatch across multiple devices/hosts
+        # (mesh sharding / multihost SPMD) is not exercised with Pallas
+        # under a sharded vmap — keep the XLA scan there
         no_weights = mf.weights is None or not len(np.asarray(mf.weights))
+        multi_device_dispatch = (
+            jax.process_count() > 1
+            or (cores is not None and cores > 1
+                and len(jax.devices()) > 1)
+        )
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
             and jnp.dtype(dtype) == jnp.float32
             and no_weights
             and bart_cfg.max_depth <= 6
+            and not multi_device_dispatch
         )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
         keep_trees_flag = True
