@@ -316,3 +316,45 @@ def test_step_batched_matches_vmapped_step():
         np.testing.assert_allclose(np.asarray(sv.bart.allfit),
                                    np.asarray(sb.bart.allfit),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_step_batched_keep_trees_and_skip_bart():
+    """Batched driver with keep_trees draws and skip_bart=2 substeps."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(100, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=3), mf.y, mf.bart_X,
+        warmup=3, iterations=2, skip_bart=2, keep_trees=True,
+        sweep_kernel=True, dtype=jnp.float32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    states, draws = prog.run_chains_batched(keys, keep_warmup=False,
+                                            chain_block=2)
+    # chain-major draws incl. tree arrays
+    assert draws.stan.shape[0] == 4 and draws.stan.shape[1] == 2
+    assert draws.tree_feature.shape == (4, 2, 3, 127)
+    assert np.all(np.isfinite(np.asarray(draws.bart_train)))
+
+    # vmapped reference with identical keys must agree
+    def one(key):
+        return prog.run_chain(key, keep_warmup=False)
+
+    _, dv = jax.vmap(one, axis_name="chains")(keys)
+    np.testing.assert_array_equal(np.asarray(dv.tree_feature),
+                                  np.asarray(draws.tree_feature))
+    np.testing.assert_allclose(np.asarray(dv.stan),
+                               np.asarray(draws.stan),
+                               rtol=3e-4, atol=3e-4)
