@@ -61,12 +61,16 @@ SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
 _pooled_env = os.environ.get("BENCH_POOLED", "0")
 POOLED = _pooled_env != "0"
 POOLED_PARTS = "metric" if _pooled_env == "1" else _pooled_env
-CHUNK = 25           # sampling iterations per compiled call
-# timed chunks (total draws = CHAINS * CHUNK * N_CHUNKS).  12 chunks =
-# 300 draws/chain: lp's integrated autocorrelation time is ~370 draws,
-# and the old 100-draw window inflated measured ESS 2-3x
-# (BENCH_NOTES round-2 part 2)
-N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "12"))
+# iterations per compiled call: sized for the axon tunnel's ~60s
+# single-execution kill.  At the round-2 17.9 ms/iter, 100 iterations =
+# 1.8 s/call — raising this cuts host<->tunnel round trips per draw
+CHUNK = int(os.environ.get("BENCH_CHUNK", "100"))
+# timed chunks sized so the ESS window stays 300 draws/chain
+# regardless of CHUNK: lp's integrated autocorrelation time is ~370
+# draws and shorter windows inflate measured ESS 2-3x (BENCH_NOTES
+# round-2 part 2; cross-window ESS comparisons are invalid)
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS",
+                              str(max(1, 300 // CHUNK))))
 NUM_TREES = 75
 # Gibbs thinning (reference skip semantics: extra NUTS transitions / BART
 # sweeps per stored draw — reduces per-draw autocorrelation at per-draw
