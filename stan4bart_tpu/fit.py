@@ -331,21 +331,28 @@ def stan4bart(
         # default the fused Pallas sweep ON where it is Mosaic-compiled
         # and eligible (the production headline path: 4.7x draws/s with
         # the chain-blocked batch driver); off-TPU the kernel would run
-        # interpreted, and chain dispatch across multiple devices/hosts
-        # (mesh sharding / multihost SPMD) is not exercised with Pallas
-        # under a sharded vmap — keep the XLA scan there
+        # interpreted.  Multi-device / multi-host chain dispatch rides
+        # shard_map (parallel.mesh.run_chains_batched_sharded /
+        # multihost) — GSPMD cannot auto-partition a Pallas custom call,
+        # so a python callback or pooled adaptation (which force the
+        # vmapped per-chain driver) falls back to the XLA scan sweep
+        # when the dispatch spans devices
         no_weights = mf.weights is None or not len(np.asarray(mf.weights))
         multi_device_dispatch = (
             jax.process_count() > 1
             or (cores is not None and cores > 1
                 and len(jax.devices()) > 1)
         )
+        sharded_batched_ok = (
+            callback is None
+            and not resolved_stan_args.pooled_adaptation
+        )
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
             and jnp.dtype(dtype) == jnp.float32
             and no_weights
             and bart_cfg.max_depth <= 6
-            and not multi_device_dispatch
+            and (not multi_device_dispatch or sharded_batched_ok)
         )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
         keep_trees_flag = True
@@ -451,16 +458,29 @@ def stan4bart(
     elif cores is not None and cores > 1 and len(jax.devices()) > 1:
         # the reference's chain-over-cores parallelism mapped to a device
         # mesh (stan4bart_fit.R:495-558 -> parallel.mesh)
-        from stan4bart_tpu.parallel.mesh import chain_mesh, run_chains_sharded
+        from stan4bart_tpu.parallel.mesh import (
+            chain_mesh,
+            run_chains_batched_sharded,
+            run_chains_sharded,
+        )
 
         n_dev = min(int(cores), len(jax.devices()), chains)
         while chains % n_dev != 0:  # mesh size must divide the chain count
             n_dev -= 1
-        final_states, draws = run_chains_sharded(
-            prog, keys, mesh=chain_mesh(n_dev),
-            bart_offset_init=boi, sigma_init=sigma_init,
-            keep_warmup=True, callback=cb,
-        )
+        if (prog.sweep_consts is not None and cb is None
+                and not resolved_stan_args.pooled_adaptation):
+            # fused Pallas sweep on every chip via shard_map
+            final_states, draws = run_chains_batched_sharded(
+                prog, keys, mesh=chain_mesh(n_dev),
+                bart_offset_init=boi, sigma_init=sigma_init,
+                keep_warmup=True,
+            )
+        else:
+            final_states, draws = run_chains_sharded(
+                prog, keys, mesh=chain_mesh(n_dev),
+                bart_offset_init=boi, sigma_init=sigma_init,
+                keep_warmup=True, callback=cb,
+            )
     elif prog.sweep_consts is not None and cb is None and chains > 1:
         # batch-explicit driver: chain-blocked fused sweep across the
         # whole chain batch (measured +35% over the vmapped driver at

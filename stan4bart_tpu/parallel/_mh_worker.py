@@ -55,6 +55,17 @@ def main():
     )
     ev = fit.extract("ev")
     sigma = fit.extract("sigma")
+
+    # fused-sweep path: f32 + sweep_kernel rides shard_map over the global
+    # mesh (each process's devices run the chain-blocked Pallas driver —
+    # interpreted on CPU — on their local chain shard)
+    fit32 = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=4, warmup=10, iter=25, seed=42, verbose=-1,
+        bart_args={"n.trees": 4, "sweep_kernel": True},
+        dtype="float32",
+    )
+    ev32 = fit32.extract("ev")
     # cross-chain diagnostics as collectives on the global draws
     diag = multihost.sharded_diagnostics(
         fit.draws.stan[:, fit.warmup:],
@@ -62,7 +73,7 @@ def main():
     )
     if pid == 0:
         np.savez(out, ev=ev, sigma=sigma, rhat=diag["rhat"],
-                 ess=diag["ess"])
+                 ess=diag["ess"], ev32=ev32)
     # all processes must reach the end together (gather is collective)
     print(f"worker {pid}: done", flush=True)
 

@@ -67,6 +67,57 @@ def run_chains_sharded(prog, keys, mesh: Mesh | None = None, **run_kwargs):
         return run(keys)
 
 
+def run_chains_batched_sharded(prog, keys, mesh: Mesh | None = None,
+                               chain_block: int = 8, **run_kwargs):
+    """Chain-sharded batch-explicit driver: each device runs the
+    chain-blocked fused Pallas sweep (``GibbsProgram.run_chains_batched``)
+    on its LOCAL chain shard under ``shard_map``.
+
+    Manual sharding is what lets the Pallas sweep custom-call ride a
+    multi-device mesh: GSPMD cannot auto-partition a custom call, which is
+    why the vmapped ``run_chains_sharded`` path keeps the XLA scan sweep.
+    With this driver, multi-chip deployments keep the measured fused-sweep
+    throughput (BENCH_NOTES round 2) on every chip.
+
+    Per-chain RNG streams are identical to the single-device batched
+    driver, so draws are chain-for-chain comparable across mesh sizes.
+    Pooled adaptation is not supported here: the vmap axis name inside the
+    local batch shadows the mesh axis, so the pool would silently become
+    per-device (use ``run_chains_sharded`` for pooled runs).
+    """
+    if mesh is None:
+        mesh = chain_mesh()
+    if prog.sweep_consts is None:
+        raise ValueError(
+            "run_chains_batched_sharded requires sweep_kernel=True"
+        )
+    if getattr(prog.nuts_cfg, "pooled_axis", None):
+        raise ValueError(
+            "pooled_adaptation is not supported with the sharded "
+            "fused-sweep driver; use run_chains_sharded"
+        )
+    n_dev = mesh.devices.size
+    chains = keys.shape[0]
+    if chains % n_dev != 0:
+        raise ValueError(
+            f"chains ({chains}) must be a multiple of mesh size ({n_dev})"
+        )
+    sharding = NamedSharding(mesh, P("chains"))
+    keys = jax.device_put(keys, sharding)
+
+    def local_run(local_keys):
+        return prog.run_chains_batched(
+            local_keys, chain_block=chain_block, **run_kwargs
+        )
+
+    run = jax.jit(jax.shard_map(
+        local_run, mesh=mesh, in_specs=P("chains"),
+        out_specs=P("chains"), check_vma=False,
+    ))
+    with mesh:
+        return run(keys)
+
+
 def _gibbs_state_pspec(state, n_obs: int):
     """PartitionSpec pytree for a chain-batched GibbsState: chain axis on
     'chains'; every observation-sized axis on 'data'; everything else

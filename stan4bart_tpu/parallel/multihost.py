@@ -100,12 +100,20 @@ def gather(tree):
 
 
 def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
-                         gather_results: bool = True, **run_kwargs):
+                         gather_results: bool = True, chain_block: int = 8,
+                         **run_kwargs):
     """Run one chain per key over the global device mesh.
 
     ``keys`` is the FULL (chains, 2) key array, identical on all processes
     (deterministic from the user seed).  Returns (final_states, draws);
     draws are gathered to full numpy on every host when gather_results.
+
+    When the program carries the fused Pallas sweep (``sweep_consts``) and
+    no callback / pooled adaptation is in play, each device runs the
+    chain-blocked batched driver on its local shard under ``shard_map`` —
+    the multi-host deployment keeps the measured fused-sweep throughput on
+    every chip (GSPMD cannot auto-partition a Pallas custom call, so the
+    vmapped path would have to fall back to the XLA scan sweep).
     """
     if mesh is None:
         mesh = global_chain_mesh()
@@ -119,12 +127,31 @@ def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
     sharding = NamedSharding(mesh, P("chains"))
     global_keys = make_global(np.asarray(keys), sharding)
 
-    def run_one(key):
-        return prog.run_chain(key, **run_kwargs)
+    use_batched = (
+        prog.sweep_consts is not None
+        and run_kwargs.get("callback") is None
+        and not getattr(prog.nuts_cfg, "pooled_axis", None)
+    )
+    if use_batched:
+        kw = {k: v for k, v in run_kwargs.items() if k != "callback"}
 
-    # vmap axis name: pooled-adaptation pmeans (NutsConfig.pooled_axis)
-    # span ALL chains globally — GSPMD lowers them to ICI/DCN collectives
-    run = jax.jit(jax.vmap(run_one, axis_name="chains"))
+        def local_run(local_keys):
+            return prog.run_chains_batched(
+                local_keys, chain_block=chain_block, **kw
+            )
+
+        run = jax.jit(jax.shard_map(
+            local_run, mesh=mesh, in_specs=P("chains"),
+            out_specs=P("chains"), check_vma=False,
+        ))
+    else:
+        def run_one(key):
+            return prog.run_chain(key, **run_kwargs)
+
+        # vmap axis name: pooled-adaptation pmeans (NutsConfig.pooled_axis)
+        # span ALL chains globally — GSPMD lowers them to ICI/DCN
+        # collectives
+        run = jax.jit(jax.vmap(run_one, axis_name="chains"))
     with mesh:
         final_states, draws = run(global_keys)
     if gather_results:

@@ -24,6 +24,36 @@ def test_cores_shards_chains():
     np.testing.assert_array_equal(f1.draws.stan, f2.draws.stan)
 
 
+def test_cores_fused_sweep_dispatch():
+    """cores > 1 with the fused f32 sweep kernel dispatches to the
+    shard_map batched driver (fit.py) and matches the single-device
+    batched run chain-for-chain."""
+    df = _df()
+    kw = dict(chains=4, warmup=12, iter=30, seed=11, verbose=-1,
+              bart_args={"n.trees": 4, "sweep_kernel": True},
+              dtype="float32")
+    f_sharded = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                              cores=4, **kw)
+    f_single = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                             **kw)
+    assert f_sharded.prog.sweep_consts is not None
+    # identical per-chain RNG streams, but the per-device batch size
+    # changes XLA's f32 reduction rounding (a 1-chain vs 4-chain NUTS
+    # gradient batch), and a rounding flip on an MH accept amplifies
+    # chaotically — so compare the early window loosely; the strict
+    # checks are reproducibility and finiteness
+    np.testing.assert_allclose(
+        np.asarray(f_sharded.draws.stan[:, :10]),
+        np.asarray(f_single.draws.stan[:, :10]),
+        rtol=2e-2, atol=2e-2,
+    )
+    assert np.all(np.isfinite(f_sharded.extract("ev")))
+    # and the sharded dispatch is reproducible under the same seed
+    f_again = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                            cores=4, **kw)
+    np.testing.assert_array_equal(f_sharded.draws.stan, f_again.draws.stan)
+
+
 def test_skip_thinning_runs():
     df = _df()
     fit = s4b.stan4bart(

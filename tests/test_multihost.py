@@ -65,3 +65,14 @@ def test_two_process_matches_single_process(tmp_path):
                                rtol=1e-8, atol=1e-8)
     assert np.all(np.isfinite(data["rhat"]))
     assert np.all(data["ess"] > 0)
+
+    # fused-sweep (f32 Pallas, shard_map over the global mesh) vs the same
+    # config single-process: identical per-chain streams modulo f32
+    fit32 = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=4, warmup=10, iter=25, seed=42, verbose=-1,
+        bart_args={"n.trees": 4, "sweep_kernel": True},
+        dtype="float32",
+    )
+    np.testing.assert_allclose(data["ev32"], fit32.extract("ev"),
+                               rtol=2e-4, atol=2e-4)
