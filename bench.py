@@ -82,6 +82,10 @@ SKIP_BART = int(os.environ.get("BENCH_SKIP_BART", "1"))
 # wall clock).  Measured 764 -> 1740 draws/s, ESS(sigma)/s 5.5 -> 14.9,
 # ESS(lp)/s 2.0 -> 4.9 at the 64-chain headline (ops/bart_sweep_kernel)
 SWEEP_KERNEL = os.environ.get("BENCH_SWEEP_KERNEL", "1") == "1"
+# Gram-compressed Gaussian likelihood (exact O(D^2)-per-leapfrog
+# reformulation; GibbsProgram.gram_lik): unset = auto (on), 0/1 for A/B
+GRAM = (None if "BENCH_GRAM" not in os.environ
+        else os.environ["BENCH_GRAM"] == "1")
 # chain-blocked batch driver: run the Gibbs step batch-explicitly
 # (GibbsProgram.step_batched) with BENCH_CHAIN_BLOCK chains per sweep
 # grid step — amortizes the ~1.9us DMA floor + ~2.6us small-op issue
@@ -135,6 +139,7 @@ def main():
                             else "metric"),
         sigma_gibbs=SIGMA_GIBBS,
         sweep_kernel=SWEEP_KERNEL,
+        gram_lik=GRAM,
     )
 
     # NOTE: the axon tunnel kills single device executions longer than

@@ -389,6 +389,7 @@ def stan4bart(
         adapt_base_window=resolved_stan_args.adapt_base_window,
         stepsize_init=resolved_stan_args.stepsize,
         sigma_gibbs=resolved_stan_args.sigma_gibbs,
+        gram_lik=resolved_stan_args.gram_lik,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         sweep_kernel=sweep_kernel,

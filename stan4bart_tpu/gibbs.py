@@ -27,6 +27,7 @@ fits, varcount, and k (bart_util.cpp:13-81).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -138,6 +139,12 @@ class GibbsProgram:
         # ops/bart_sweep_kernel.py).  Requires float32, unweighted
         # likelihoods, max_depth <= 6.  Interpreted (slow, exact) off-TPU.
         sweep_kernel: bool = False,
+        # Gram-compressed Gaussian likelihood in the NUTS hot loop: per
+        # Gibbs iteration one O(N*D) anchored sufficient-statistic pass,
+        # then every leapfrog is O(D^2) and independent of N
+        # (ParametricModel.log_prob_gram).  Exact reformulation of the
+        # same posterior.  None = auto (on when 0 < D <= S4B_GRAM_MAX_D).
+        gram_lik: bool | None = None,
         dtype=jnp.float64,
     ):
         self.keep_trees = bool(keep_trees)
@@ -190,6 +197,13 @@ class GibbsProgram:
             if weights is not None and len(np.asarray(weights)) else None
         )
         self.offset_type = OFFSET_TYPES.index(offset_type)
+
+        # Gram-compressed likelihood resolution (see gram_lik docstring)
+        D = int(pm.cfg.has_intercept) + pm.cfg.K + pm.cfg.q
+        if gram_lik is None:
+            gram_lik = 0 < D <= int(os.environ.get("S4B_GRAM_MAX_D",
+                                                   "1024"))
+        self.use_gram = bool(gram_lik) and pm.enable_gram()
 
         self.sweep_consts = None
         self.sweep_interpret = False
@@ -428,9 +442,16 @@ class GibbsProgram:
         y_stan = state.latents if self.is_binary else self.y
         stan_offset = state.stan_offset
 
+        if self.use_gram:
+            # anchored sufficient statistics: one O(N*D) pass here, then
+            # every leapfrog in the transition(s) below is O(D^2)
+            anchor = pm.gram_anchor(state.nuts.q, stan_offset, y_stan)
 
-        def logp(u):
-            return pm.log_prob(u, stan_offset, y_stan)
+            def logp(u):
+                return pm.log_prob_gram(u, anchor)
+        else:
+            def logp(u):
+                return pm.log_prob(u, stan_offset, y_stan)
 
         vi = state.vi
         if self.parametric_method == "vi":

@@ -58,6 +58,9 @@ class StanArgs:
     # extra exact sigma conditional update per iteration (same posterior,
     # decouples sigma mixing from NUTS drift; GibbsProgram.sigma_gibbs)
     sigma_gibbs: bool = False
+    # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
+    # reformulation; GibbsProgram.gram_lik).  None = auto by D
+    gram_lik: bool | None = None
     seed: int | None = None
     keep_trees: bool = False
 

@@ -602,6 +602,15 @@ class ParametricModel:
                 / (actual_aux * actual_aux)
             )
 
+        return lp + self._prior_lp(c, tp) + log_jac
+
+    def _prior_lp(self, c, tp):
+        """Every prior term of the model block (continuous.stan:368-429) —
+        N-independent, shared by the direct and Gram-compressed
+        likelihood paths."""
+        cfg, h = self.cfg, self.hyper
+        lp = jnp.zeros((), dtype=self.dtype)
+
         # aux prior (continuous.stan:368-376) on aux_unscaled
         if (not cfg.is_binary and cfg.prior_dist_for_aux > 0
                 and float(h["prior_scale_for_aux"]) > 0):
@@ -717,7 +726,112 @@ class ParametricModel:
                     lp = lp + dists.gamma_lpdf(c["zeta"], h["delta"], 1.0)
                 lp = lp + dists.gamma_lpdf(c["tau"], h["shape_decov"], 1.0)
 
-        return lp + log_jac
+        return lp
+
+    # -- Gram-compressed likelihood (NUTS hot-loop, O(D^2) per leapfrog) --
+
+    def dense_design(self) -> np.ndarray:
+        """Host-side dense design A (N, D), f64, columns ordered
+        [gamma | beta | b] so that eta - offset = A @ v.  The b columns
+        follow make_b's flat layout (term-major, then level-major, then
+        coefficient: index off_i + g*p_i + j carries lhs[:, j] on rows of
+        level g).  Used only at setup to build the Gram structures."""
+        cfg = self.cfg
+        N = cfg.N
+        cols = []
+        if cfg.has_intercept:
+            cols.append(np.ones((N, 1)))
+        if cfg.K > 0:
+            cols.append(np.asarray(self.X, dtype=np.float64))
+        for (lhs, gidx), pi, li in zip(self.z_structs, cfg.p, cfg.l):
+            lhs = np.asarray(lhs, dtype=np.float64)
+            gidx = np.asarray(gidx)
+            Z = np.zeros((N, li * pi))
+            valid = gidx >= 0  # unseen levels contribute nothing
+            rows = np.arange(N)[valid]
+            for j in range(pi):
+                Z[rows, gidx[valid] * pi + j] = lhs[valid, j]
+            cols.append(Z)
+        if not cols:
+            return np.zeros((N, 0))
+        return np.concatenate(cols, axis=1)
+
+    def enable_gram(self) -> bool:
+        """Precompute the Gram structures for ``log_prob_gram``: the dense
+        design A, the weighted design AW = diag(w) A, and G = A' W A
+        (f64-accumulated on host, then cast).  Returns False when the
+        model has no linear coefficients (D == 0)."""
+        if getattr(self, "_gram_ready", False):
+            return True
+        A = self.dense_design()
+        if A.shape[1] == 0:
+            return False
+        if self.cfg.has_weights:
+            AW = A * np.asarray(self.weights, np.float64)[:, None]
+        else:
+            AW = A
+        G = A.T @ AW
+        self.gram_A = jnp.asarray(A, self.dtype)
+        self.gram_AW = jnp.asarray(AW, self.dtype)
+        self.gram_G = jnp.asarray(G, self.dtype)
+        self._gram_ready = True
+        return True
+
+    def _coef_vector(self, c, tp):
+        """v = [gamma | beta | b] matching dense_design's column order."""
+        parts = []
+        if self.cfg.has_intercept:
+            parts.append(c["gamma"])
+        if self.cfg.K > 0:
+            parts.append(tp["beta"])
+        if self.cfg.q > 0:
+            parts.append(tp["b"])
+        return (jnp.concatenate(parts) if parts
+                else jnp.zeros(0, self.dtype))
+
+    def gram_anchor(self, u, offset_, y):
+        """Per-Gibbs-iteration sufficient statistics of the Gaussian
+        likelihood, anchored at the current draw u (one O(N*D) pass):
+        v_hat, rr = ||y - offset - A v_hat||_W^2, and g = A' W r_hat.
+        Anchoring keeps every f32 magnitude at the residual scale, so the
+        within-trajectory lp differences NUTS accepts on do not suffer
+        big-number cancellation (unlike the raw y'y expansion)."""
+        hi = jax.lax.Precision.HIGHEST
+        c, _ = self.layout.constrain(u)
+        tp = self.transformed(c)
+        vhat = self._coef_vector(c, tp)
+        eta = offset_ + jnp.dot(self.gram_A, vhat, precision=hi)
+        r = y - eta
+        rw = r * self.weights if self.cfg.has_weights else r
+        rr = jnp.dot(r, rw, precision=hi)
+        g = jnp.dot(r, self.gram_AW, precision=hi)
+        return vhat, rr, g
+
+    def log_prob_gram(self, u, anchor):
+        """``log_prob`` with the Gaussian likelihood evaluated from the
+        anchored sufficient statistics:
+
+            ||y_eff - A v||_W^2 = rr - 2 d'g + d'Gd,   d = v - v_hat
+
+        — O(D^2) per evaluation, independent of N, so the per-leapfrog
+        cost of the NUTS transition no longer touches the observation
+        axis (the offset, and hence the anchor, is constant within a
+        Gibbs iteration).  Exact in real arithmetic; same posterior as
+        the direct form (continuous.stan:344-366)."""
+        cfg = self.cfg
+        hi = jax.lax.Precision.HIGHEST
+        vhat, rr, g = anchor
+        c, log_jac = self.layout.constrain(u)
+        tp = self.transformed(c)
+        actual_aux = (jnp.asarray(1.0, self.dtype) if cfg.is_binary
+                      else tp["aux"])
+        d = self._coef_vector(c, tp) - vhat
+        quad = (rr - 2.0 * jnp.dot(d, g, precision=hi)
+                + jnp.dot(d, jnp.dot(self.gram_G, d, precision=hi),
+                          precision=hi))
+        lp = (-0.5 * cfg.N * jnp.log(2.0 * jnp.pi * actual_aux * actual_aux)
+              - 0.5 * quad / (actual_aux * actual_aux))
+        return lp + self._prior_lp(c, tp) + log_jac
 
     def _centered_b_lpdf(self, b, theta_L):
         """Sum over terms/levels of MVN(b_level | 0, T_i T_i') with T_i

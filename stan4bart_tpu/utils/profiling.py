@@ -58,8 +58,14 @@ def profile_phases(prog, states, n_iter: int = 25, repeats: int = 3):
         y_stan = state.latents if prog.is_binary else prog.y
         offset = state.stan_offset
 
-        def logp(u):
-            return prog.pm.log_prob(u, offset, y_stan)
+        if prog.use_gram:  # profile the same closure production runs
+            anchor = prog.pm.gram_anchor(state.nuts.q, offset, y_stan)
+
+            def logp(u):
+                return prog.pm.log_prob_gram(u, anchor)
+        else:
+            def logp(u):
+                return prog.pm.log_prob(u, offset, y_stan)
 
         f = jnp.asarray(False)
 

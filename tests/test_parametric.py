@@ -272,3 +272,56 @@ def test_large_q_gather_path_matches_onehot():
     np.testing.assert_allclose(v_gather, v_onehot, rtol=1e-12)
     np.testing.assert_allclose(g_gather, g_onehot, rtol=1e-12)
     assert v_onehot[5] == 0.0  # unseen level row
+
+
+@pytest.mark.parametrize("fam,wts,centered", [
+    ("gaussian", False, False),
+    ("gaussian", True, False),
+    ("gaussian", False, True),
+    ("binomial", False, False),
+])
+def test_gram_likelihood_matches_direct(fam, wts, centered):
+    """log_prob_gram (anchored sufficient-statistic quadratic form,
+    O(D^2) per evaluation) is an exact reformulation of log_prob: lp and
+    gradients match at arbitrary points away from the anchor, for
+    weighted, centered-ranef, and probit variants."""
+    d = generate_friedman_data(150, ranef=True, causal=True,
+                               binary=(fam == "binomial"))
+    dfx = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(X1+X2+X3+X5) + X4 + z + (1 + X4 | g.1) + (1 | g.2)", dfx
+    )
+    rng = np.random.default_rng(0)
+    if wts:
+        mf.weights = rng.uniform(0.5, 2.0, 150)
+    pm, _, _ = build_parametric_model(
+        mf, fam, {"centered_ranef": centered}, dtype=jnp.float64
+    )
+    assert pm.enable_gram()
+
+    off = jnp.asarray(rng.normal(size=150))
+    y = jnp.asarray(rng.normal(size=150) + 3.0)
+    anchor = pm.gram_anchor(
+        jnp.asarray(rng.normal(size=pm.num_upars) * 0.5), off, y
+    )
+    for _ in range(4):
+        u = jnp.asarray(rng.normal(size=pm.num_upars) * 0.8)
+        lp_direct = float(pm.log_prob(u, off, y))
+        lp_gram = float(pm.log_prob_gram(u, anchor))
+        np.testing.assert_allclose(lp_gram, lp_direct, rtol=1e-9,
+                                   atol=1e-7)
+        g_direct = np.asarray(jax.grad(pm.log_prob)(u, off, y))
+        g_gram = np.asarray(
+            jax.grad(lambda uu: pm.log_prob_gram(uu, anchor))(u)
+        )
+        np.testing.assert_allclose(g_gram, g_direct, rtol=1e-7, atol=1e-7)
+
+
+def test_gram_disabled_for_empty_design():
+    """A model with no intercept, no fixef, no ranef has D == 0 — gram
+    must decline (and GibbsProgram falls back to the direct path)."""
+    dfx = friedman_dataframe(generate_friedman_data(60, ranef=False))
+    mf = build_model_frame("y ~ bart(X1 + X2 + X3)", dfx)
+    pm, _, _ = build_parametric_model(mf, "gaussian", {}, dtype=jnp.float64)
+    if pm.cfg.K == 0 and not pm.cfg.has_intercept and pm.cfg.q == 0:
+        assert pm.enable_gram() is False
