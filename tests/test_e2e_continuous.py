@@ -142,3 +142,48 @@ def test_diagnostics_present(fit):
     assert stan.shape[0] == len(fit.stan_names)
     div_idx = fit.stan_names.index("divergent__")
     assert stan[div_idx].sum() < 0.2 * stan.shape[1]
+
+
+def test_rmse_beats_linear_mixed_model():
+    """test-01-continuous.R:152/193: held-out RMSE <= the linear
+    mixed-model comparator (the reference gates against lme4::lmer; here
+    the comparator is unpenalized least squares on [1, X, Z-dummies] —
+    at n >> p that is lmer's fixed+BLUP fit without shrinkage, an upper
+    bound on its flexibility).  BART must beat it on the nonlinear
+    Friedman surface."""
+    rng = np.random.default_rng(3)
+    d = generate_friedman_data(300, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    idx = rng.permutation(300)
+    tr, te = idx[:220], idx[220:]
+    df_tr = {k: np.asarray(v)[tr] for k, v in df.items()}
+    df_te = {k: np.asarray(v)[te] for k, v in df.items()}
+
+    fit = s4b.stan4bart(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 + X4 | g.1) + (1 | g.2)",
+        df_tr, test=df_te,
+        chains=2, warmup=250, iter=600, seed=9, verbose=-1,
+        bart_args={"n.trees": 50},
+    )
+    yhat_test = fit.fitted(sample="test")
+    rmse_bart = float(np.sqrt(np.mean((yhat_test - df_te["y"]) ** 2)))
+
+    # linear comparator: least squares on [1, X1..X10, g.1 dummies,
+    # X4:g.1 dummies, g.2 dummies]
+    def design(dd):
+        cols = [np.ones(len(dd["y"]))]
+        for j in range(1, 11):
+            cols.append(np.asarray(dd[f"X{j}"], float))
+        for g, inter in (("g.1", False), ("g.1", True), ("g.2", False)):
+            levels = np.unique(np.asarray(df[g]))
+            onehot = (np.asarray(dd[g])[:, None] == levels[None, :]
+                      ).astype(float)
+            cols.append(onehot * np.asarray(dd["X4"], float)[:, None]
+                        if inter else onehot)
+        return np.column_stack(cols)
+
+    A_tr, A_te = design(df_tr), design(df_te)
+    coef, *_ = np.linalg.lstsq(A_tr, np.asarray(df_tr["y"], float),
+                               rcond=None)
+    rmse_lin = float(np.sqrt(np.mean((A_te @ coef - df_te["y"]) ** 2)))
+    assert rmse_bart <= rmse_lin, (rmse_bart, rmse_lin)
