@@ -13,6 +13,7 @@ packages draws into a :class:`~stan4bart_tpu.results.Stan4bartFit`.
 from __future__ import annotations
 
 import math
+import os
 import warnings
 
 import jax
@@ -347,11 +348,21 @@ def stan4bart(
             callback is None
             and not resolved_stan_args.pooled_adaptation
         )
+        # VMEM ceiling: the kernel keeps one (128, NPAD) f32 membership
+        # one-hot live per grid step (512*NPAD bytes) plus the (CB, NPAD)
+        # residual/fit rows; past ~20k observations that approaches
+        # Mosaic's 16M scoped-VMEM stack and the compile hard-fails —
+        # auto-fall back to the XLA scan sweep there (an explicit
+        # bart_args sweep_kernel=True still forces the kernel)
+        n_ok = mf.bart_X.shape[0] <= int(
+            os.environ.get("S4B_SWEEP_KERNEL_MAX_N", "20000")
+        )
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
             and jnp.dtype(dtype) == jnp.float32
             and no_weights
             and bart_cfg.max_depth <= 6
+            and n_ok
             and (not multi_device_dispatch or sharded_batched_ok)
         )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
