@@ -328,6 +328,16 @@ def stan4bart(
     bart_cfg, split_probs, keep_trees_flag, sweep_kernel = (
         _resolve_bart_args(bart_args, is_binary)
     )
+    # one predicate for "the batched shard_map driver can carry this
+    # fit", shared by the sweep-kernel auto-default AND the dispatch
+    # below (keeping them in lockstep): keep_fits=False installs a
+    # store-nothing callback (cb below), which forces the per-chain
+    # vmapped driver just like a user callback or pooled adaptation does
+    sharded_batched_ok = (
+        callback is None
+        and keep_fits
+        and not resolved_stan_args.pooled_adaptation
+    )
     if sweep_kernel is None:
         # default the fused Pallas sweep ON where it is Mosaic-compiled
         # and eligible (the production headline path: 4.7x draws/s with
@@ -335,18 +345,13 @@ def stan4bart(
         # interpreted.  Multi-device / multi-host chain dispatch rides
         # shard_map (parallel.mesh.run_chains_batched_sharded /
         # multihost) — GSPMD cannot auto-partition a Pallas custom call,
-        # so a python callback or pooled adaptation (which force the
-        # vmapped per-chain driver) falls back to the XLA scan sweep
-        # when the dispatch spans devices
+        # so anything forcing the vmapped per-chain driver falls back to
+        # the XLA scan sweep when the dispatch spans devices
         no_weights = mf.weights is None or not len(np.asarray(mf.weights))
         multi_device_dispatch = (
             jax.process_count() > 1
             or (cores is not None and cores > 1
                 and len(jax.devices()) > 1)
-        )
-        sharded_batched_ok = (
-            callback is None
-            and not resolved_stan_args.pooled_adaptation
         )
         # VMEM ceiling: the kernel keeps one (128, NPAD) f32 membership
         # one-hot live per grid step (512*NPAD bytes) plus the (CB, NPAD)
@@ -479,8 +484,7 @@ def stan4bart(
         n_dev = min(int(cores), len(jax.devices()), chains)
         while chains % n_dev != 0:  # mesh size must divide the chain count
             n_dev -= 1
-        if (prog.sweep_consts is not None and cb is None
-                and not resolved_stan_args.pooled_adaptation):
+        if prog.sweep_consts is not None and sharded_batched_ok:
             # fused Pallas sweep on every chip via shard_map
             final_states, draws = run_chains_batched_sharded(
                 prog, keys, mesh=chain_mesh(n_dev),

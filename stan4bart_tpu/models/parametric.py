@@ -772,7 +772,9 @@ class ParametricModel:
             AW = A
         G = A.T @ AW
         self.gram_A = jnp.asarray(A, self.dtype)
-        self.gram_AW = jnp.asarray(AW, self.dtype)
+        # unweighted: AW is A — alias the device buffer, don't duplicate
+        self.gram_AW = (self.gram_A if AW is A
+                        else jnp.asarray(AW, self.dtype))
         self.gram_G = jnp.asarray(G, self.dtype)
         self._gram_ready = True
         return True

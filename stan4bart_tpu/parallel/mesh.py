@@ -91,6 +91,11 @@ def run_chains_batched_sharded(prog, keys, mesh: Mesh | None = None,
         raise ValueError(
             "run_chains_batched_sharded requires sweep_kernel=True"
         )
+    if run_kwargs.pop("callback", None) is not None:
+        raise ValueError(
+            "the batched sharded driver does not support callbacks; "
+            "use run_chains_sharded"
+        )
     if getattr(prog.nuts_cfg, "pooled_axis", None):
         raise ValueError(
             "pooled_adaptation is not supported with the sharded "

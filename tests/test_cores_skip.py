@@ -74,3 +74,17 @@ def test_skip_tuple():
                         iter=30, seed=2, verbose=-1, skip=(2, 2),
                         bart_args={"n.trees": 4})
     assert fit.prog.skip_bart == 2 and fit.prog.skip_stan == 2
+
+
+def test_cores_keep_fits_false_dispatch():
+    """keep_fits=False installs a store-nothing callback, which must
+    route multi-device dispatch to the per-chain vmapped driver (the
+    batched shard_map driver cannot carry callbacks) and store nothing."""
+    df = _df()
+    fit = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=4, cores=4, warmup=8, iter=20, seed=3, verbose=-1,
+        keep_fits=False, dtype="float32",
+        bart_args={"n.trees": 4, "sweep_kernel": True},
+    )
+    assert fit.draws is None  # reference stores nothing (init.cpp:691-720)
