@@ -60,7 +60,11 @@ def _running_min(x):
 def ess(draws):
     """draws: (chains, iterations) -> effective sample size
     (compute_effective_sample_size.hpp semantics)."""
-    x = jnp.asarray(draws, dtype=jnp.float64)
+    # f64 when available (Stan computes these in double); without x64
+    # enabled jax would only warn and truncate — request f32 explicitly
+    # to keep user-facing runs warning-free
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x = jnp.asarray(draws, dtype=acc)
     C, n = x.shape
     acov = _autocovariance(x)                          # (C, n)
     chain_mean = jnp.mean(x, axis=1)
@@ -79,7 +83,7 @@ def ess(draws):
     n_pairs = n // 2
     pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]  # (n_pairs,)
     # initial-positive: keep pairs up to (excluding) the first non-positive
-    keep = jnp.cumprod((pair > 0).astype(jnp.float64))
+    keep = jnp.cumprod((pair > 0).astype(acc))
     # initial-monotone: enforce non-increasing over the kept sequence
     pair_mono = _running_min(pair)
     tau = -1.0 + 2.0 * jnp.sum(pair_mono * keep)
