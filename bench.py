@@ -33,10 +33,12 @@ def _baseline_denominator():
         return REFERENCE_DRAWS_PER_S_EST, "estimate"
 
 N = 10_000
-# chains amortize fixed per-step cost (measured post-gather-fix: 16 chains
-# 221 draws/s, 64 chains 377 on one v5e chip); 64 is the committed headline
-# config, override with BENCH_CHAINS
-CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
+# chains amortize fixed per-step cost (the NUTS while_loop is max-padded —
+# constant in the chain count); with the gram likelihood the sweep
+# dominates and the knee moved out: 64 -> 4277, 128 -> 4476, 256 -> 4625,
+# 512 -> 4634 draws/s (flat) — 256 is the committed headline config,
+# override with BENCH_CHAINS
+CHAINS = int(os.environ.get("BENCH_CHAINS", "256"))
 # warmup 400: at 200 the 64-chain ensemble had not converged and the DA
 # stepsize undershot 2x (chip A/B, BENCH_NOTES round-2 part 2)
 WARMUP = int(os.environ.get("BENCH_WARMUP", "400"))
