@@ -57,6 +57,7 @@ Weighted likelihoods fall back to the XLA path (gibbs.py gates this).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -86,22 +87,43 @@ class SweepConsts(NamedTuple):
     depths: jnp.ndarray    # (1, 128) f32 — node depth by heap index
     n_obs: int
     npad: int
+    # lane-slice count for the per-tree obs loops: 1 keeps the original
+    # single-pass body (n <= the slice width); > 1 bounds the live
+    # (128, NS) membership one-hot so large-n fits in scoped VMEM
+    n_slices: int = 1
 
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
-    """Precompute the static kernel operands from the model data."""
+# default lane-slice width: the live (128, NS) one-hot is 512*NS bytes —
+# 8192 lanes = 4 MB, leaving room for the (CB, NPAD) rows at large n
+DEFAULT_LANE_SLICE = 10_368
+
+
+def make_sweep_consts(cfg: BartConfig, ranks, split_probs,
+                      lane_slice: int | None = None) -> SweepConsts:
+    """Precompute the static kernel operands from the model data.
+
+    lane_slice: max observation lanes processed per slice of the
+    per-tree loops (None = $S4B_SWEEP_SLICE or DEFAULT_LANE_SLICE).
+    n <= lane_slice compiles the original single-pass body.
+    """
     if cfg.max_nodes > NODE_PAD - 1:
         raise ValueError(
             f"fused sweep kernel supports max_depth <= 6 "
             f"(max_nodes {cfg.max_nodes} > {NODE_PAD - 1})"
         )
+    if lane_slice is None:
+        lane_slice = int(os.environ.get("S4B_SWEEP_SLICE",
+                                        str(DEFAULT_LANE_SLICE)))
     ranks = np.asarray(ranks)
     n, p = ranks.shape
     npad = _ceil_to(max(n, 128), 128)
+    ns = min(npad, _ceil_to(lane_slice, 128))
+    npad = _ceil_to(npad, ns)          # slices tile NPAD exactly
+    n_slices = npad // ns
     ranks_f = np.zeros((p, npad), dtype=np.float32)
     ranks_f[:, :n] = ranks.T.astype(np.float32)
     spcum = np.cumsum(np.asarray(split_probs, np.float32))[None, :]
@@ -114,22 +136,34 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs) -> SweepConsts:
     return SweepConsts(
         ranks_f=jnp.asarray(ranks_f), spcum=jnp.asarray(spcum),
         psplit=jnp.asarray(psplit), depths=jnp.asarray(depths),
-        n_obs=n, npad=npad,
+        n_obs=n, npad=npad, n_slices=n_slices,
     )
 
 
 def _tree_step_math(cfg: BartConfig, p_feat: int,
                     featf, cutf, lidx, r,
                     sigma2, tau2, u_move, u_leaf, u_nog, u_var, u_cut,
-                    u_acc, zn, ranks, spcum, psplit_row, depths_row):
+                    u_acc, zn, ranks, spcum, psplit_row, depths_row,
+                    n_slices: int = 1):
     """One grow/prune/change MH step + conjugate leaf draws, vectorized
     over a leading chain dimension CB (CB = 1 for the vmapped per-chain
     kernel, CB = chain_block for the batch kernel).
 
     featf/cutf: (CB, 128) f32; lidx: (CB, NPAD) int32; r: (CB, NPAD)
     partial residual; sigma2/tau2/u_*: scalar or (CB, 1); zn: (CB, 128).
-    Returns (featf', cutf', lidx', lv_new, new_fit) with the same
-    leading dimension.
+    Returns (featf', cutf', lidx_slices, lv_new, fit_slices) — the
+    per-observation outputs come back as length-n_slices lists of
+    (CB, NS) arrays; the caller writes each slice to its output ref
+    (Mosaic cannot lane-concatenate computed slices whose sublane
+    offsets differ, so the slices must never be reassembled as one
+    value inside the kernel).
+
+    n_slices > 1 runs every per-observation block (membership stats,
+    leaf-index update, leaf sufficient statistics, fit lookup) in
+    NPAD/n_slices-lane slices so only one (128, NS) one-hot and
+    (CB, NS) temporaries are live at a time — large n never
+    materializes an O(128*N) buffer.  n_slices == 1 emits the original
+    single-pass op sequence (per-obs masks computed once and reused).
     """
     f32 = jnp.float32
     n_cuts = float(cfg.n_cuts)
@@ -138,7 +172,6 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     max_depth = float(cfg.max_depth)
     eps = 1e-12
     cb = featf.shape[0]
-    lidx_f = lidx.astype(f32)
 
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, NODE_PAD), 1)
@@ -175,9 +208,6 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     iota_p = jax.lax.broadcasted_iota(
         jnp.int32, (1, p_feat), 1).astype(f32)
     vone = (iota_p == v_new).astype(f32)                 # (CB, P)
-    rank_v = jnp.dot(vone, ranks,
-                     preferred_element_type=f32)         # (CB, NPAD)
-    go_left_new = (rank_v <= c_new).astype(f32)
     log_u = jnp.log(jnp.maximum(u_acc, 1e-30))
 
     # node picks: uniform over marked entries via MXU cumsum --------
@@ -207,21 +237,57 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
                     axis=1, keepdims=True)
 
     # membership & masked sufficient statistics --------------------
+    # sliced along lanes: one (CB, NS) set of masks live at a time.
+    # n_slices == 1 (the n <= lane-slice case) computes each mask once
+    # and reuses it in the update pass — the original op sequence.
     eta_i = eta.astype(jnp.int32)
     lft_i = lft.astype(jnp.int32)
     rgt_i = rgt.astype(jnp.int32)
-    me = (lidx == eta_i).astype(f32)                     # (CB, NPAD)
-    ml = (lidx == lft_i).astype(f32)
-    mr = (lidx == rgt_i).astype(f32)
-    members = gf * me + (1.0 - gf) * (ml + mr)
+    npad_ = lidx.shape[1]
+    assert npad_ % n_slices == 0
+    ns = npad_ // n_slices
 
-    n_all = jnp.sum(members, axis=1, keepdims=True)
-    s_all = jnp.sum(members * r, axis=1, keepdims=True)
-    mln = members * go_left_new
-    n_ln = jnp.sum(mln, axis=1, keepdims=True)
-    s_ln = jnp.sum(mln * r, axis=1, keepdims=True)
-    n_lo = jnp.sum(ml, axis=1, keepdims=True)
-    s_lo = jnp.sum(ml * r, axis=1, keepdims=True)
+    # Mosaic cannot sublane-broadcast a lane-OFFSET slice of a wide row
+    # (vector.broadcast of value[:, s*NS:] fails to lower); reshaping to
+    # (…, n_slices, NS) and indexing the middle axis gives every slice
+    # an offset-0 lane layout (verified on-chip).  n_slices == 1 skips
+    # the reshape entirely — the original arrays flow through untouched.
+    if n_slices == 1:
+        take = lambda x, s: x                         # noqa: E731
+        lidx3, r3, ranks3 = lidx, r, ranks
+    else:
+        take = lambda x, s: x[:, s, :]                # noqa: E731
+        lidx3 = lidx.reshape(cb, n_slices, ns)
+        r3 = r.reshape(cb, n_slices, ns)
+        ranks3 = ranks.reshape(ranks.shape[0], n_slices, ns)
+
+    def obs_slice(s):
+        """Membership masks for lane slice s of the CURRENT tree."""
+        lidx_s = take(lidx3, s)
+        rank_v_s = jnp.dot(vone, take(ranks3, s),
+                           preferred_element_type=f32)   # (CB, NS)
+        gl_s = (rank_v_s <= c_new).astype(f32)
+        me = (lidx_s == eta_i).astype(f32)
+        ml = (lidx_s == lft_i).astype(f32)
+        mr = (lidx_s == rgt_i).astype(f32)
+        members_s = gf * me + (1.0 - gf) * (ml + mr)
+        return lidx_s, gl_s, ml, members_s
+
+    cached = ([obs_slice(0)] if n_slices == 1 else None)
+
+    zero = jnp.zeros((cb, 1), f32)
+    n_all = s_all = n_ln = s_ln = n_lo = s_lo = zero
+    for s in range(n_slices):
+        lidx_s, gl_s, ml, members_s = (cached[s] if cached is not None
+                                       else obs_slice(s))
+        r_s = take(r3, s)
+        mln = members_s * gl_s
+        n_all = n_all + jnp.sum(members_s, axis=1, keepdims=True)
+        s_all = s_all + jnp.sum(members_s * r_s, axis=1, keepdims=True)
+        n_ln = n_ln + jnp.sum(mln, axis=1, keepdims=True)
+        s_ln = s_ln + jnp.sum(mln * r_s, axis=1, keepdims=True)
+        n_lo = n_lo + jnp.sum(ml, axis=1, keepdims=True)
+        s_lo = s_lo + jnp.sum(ml * r_s, axis=1, keepdims=True)
     n_rn = n_all - n_ln
     s_rn = s_all - s_ln
     n_ro = n_all - n_lo
@@ -277,15 +343,21 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     c_eta_cur = jnp.sum(cutf * d_eta, axis=1, keepdims=True)
     c_eta_new = pf * c_eta_cur + (1.0 - pf) * c_new
     new_cut = cutf * (1.0 - d_eta) + c_eta_new * d_eta
-    dest = (pf * eta
-            + (1.0 - pf) * (go_left_new * lft
-                            + (1.0 - go_left_new) * rgt))
-    new_lidx_f = members * dest + (1.0 - members) * lidx_f
 
     featf = acc * new_feat + (1.0 - acc) * featf
     cutf = acc * new_cut + (1.0 - acc) * cutf
-    lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
-    lidx = lidx_f.astype(jnp.int32)
+
+    # leaf-index update, sliced (reuses the cached masks at 1 slice) --
+    new_lidx_slices = []
+    for s in range(n_slices):
+        lidx_s, gl_s, ml, members_s = (cached[s] if cached is not None
+                                       else obs_slice(s))
+        lidx_f_s = lidx_s.astype(f32)
+        dest_s = (pf * eta
+                  + (1.0 - pf) * (gl_s * lft + (1.0 - gl_s) * rgt))
+        new_lidx_f_s = members_s * dest_s + (1.0 - members_s) * lidx_f_s
+        lidx_f_s = acc * new_lidx_f_s + (1.0 - acc) * lidx_f_s
+        new_lidx_slices.append(lidx_f_s.astype(jnp.int32))
 
     # conjugate leaf draws + fitted values -------------------------
     # Per-chain loop, one chain's (128, NPAD) membership one-hot live
@@ -308,25 +380,65 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     fit_rows = []
     iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
     for j in range(cb):
-        Mm_j = (iota_col == lidx[j:j + 1, :]).astype(f32)  # (128, NPAD)
-        counts_j = jnp.transpose(
-            jnp.sum(Mm_j, axis=1, keepdims=True))          # (1, 128)
-        sums_j = jnp.transpose(
-            jnp.sum(Mm_j * r[j:j + 1, :], axis=1, keepdims=True))
+        # per-slice leaf sufficient statistics from the UPDATED indices;
+        # at n_slices == 1 the single (128, NPAD) one-hot is cached and
+        # reused for the fit lookup (the original structure)
+        mm_cache = []
+        counts_j = jnp.zeros((1, NODE_PAD), f32)
+        sums_j = jnp.zeros((1, NODE_PAD), f32)
+        for s in range(n_slices):
+            lidx_js = new_lidx_slices[s][j:j + 1, :]
+            if s > 0:
+                # serialize the unrolled slices with an arithmetic
+                # dependency (a dynamic zero from the accumulator):
+                # without it Mosaic schedules every slice's (128, NS)
+                # one-hot generation before the first reduction and the
+                # scoped stack holds n_slices of them at once (measured
+                # 26.6M at n=50k — exactly five live one-hots).
+                # lax.optimization_barrier has no Pallas TPU lowering.
+                dep = (counts_j[0:1, 0:1] * 0.0).astype(jnp.int32)
+                lidx_js = lidx_js + dep
+            Mm_js = (iota_col == lidx_js).astype(f32)
+            if n_slices == 1:
+                mm_cache.append(Mm_js)
+            counts_j = counts_j + jnp.transpose(
+                jnp.sum(Mm_js, axis=1, keepdims=True))     # (1, 128)
+            sums_j = sums_j + jnp.transpose(
+                jnp.sum(Mm_js * take(r3, s)[j:j + 1, :],
+                        axis=1, keepdims=True))
         pv_j = 1.0 / (counts_j / sig2[j:j + 1] + 1.0 / tau2r[j:j + 1])
         pm_j = pv_j * sums_j / sig2[j:j + 1]
         mu_j = pm_j + jnp.sqrt(pv_j) * zn[j:j + 1, :]
         lv_j = jnp.where(featf[j:j + 1, :] == float(LEAF), mu_j, 0.0)
-        fit_rows.append(jnp.dot(lv_j, Mm_j, preferred_element_type=f32))
+        fit_js = []
+        for s in range(n_slices):
+            if mm_cache:
+                Mm_js = mm_cache[s]
+            else:
+                lidx_js = new_lidx_slices[s][j:j + 1, :]
+                if s > 0:  # bound one-hot liveness (see stats pass)
+                    dep = (fit_js[-1][0:1, 0:1] * 0.0).astype(jnp.int32)
+                    lidx_js = lidx_js + dep
+                Mm_js = (iota_col == lidx_js).astype(f32)
+            fit_js.append(jnp.dot(lv_j, Mm_js,
+                                  preferred_element_type=f32))
+        fit_rows.append(fit_js)
         lv_rows.append(lv_j)
+    # assemble per-SLICE outputs (concat over chains only — sublane
+    # concat of freshly computed rows, the original op; never over lanes)
+    fit_slices = [
+        (fit_rows[0][s] if cb == 1
+         else jnp.concatenate([fit_rows[j][s] for j in range(cb)],
+                              axis=0))
+        for s in range(n_slices)
+    ]
     lv_new = (lv_rows[0] if cb == 1
               else jnp.concatenate(lv_rows, axis=0))        # (CB, 128)
-    new_fit = (fit_rows[0] if cb == 1
-               else jnp.concatenate(fit_rows, axis=0))      # (CB, NPAD)
-    return featf, cutf, lidx, lv_new, new_fit
+    return featf, cutf, new_lidx_slices, lv_new, fit_slices
 
 
-def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
+def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
+                 n_slices: int = 1):
     f32 = jnp.float32
 
     def kernel(scal_ref, u_ref,
@@ -348,7 +460,7 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
         old_fit = tfit_ref[0]                   # (1, NPAD) this tree's fit
         r = R + old_fit                         # partial residual
 
-        featf, cutf, lidx, lv_new, new_fit = _tree_step_math(
+        featf, cutf, lidx_slices, lv_new, fit_slices = _tree_step_math(
             cfg, p_feat,
             feature_ref[0].astype(f32), cut_ref[0].astype(f32),
             lidx_ref[0], r,
@@ -357,27 +469,43 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int):
             u_ref[t, 4], u_ref[t, 5],
             zn_ref[0], ranks_ref[:, :], spcum_ref[:, :],
             psplit_ref[:, :], depths_ref[:, :],
+            n_slices=n_slices,
         )
 
-        R_new = R + old_fit - new_fit
-        resid_s[:, :] = R_new
-        resid_o[:, :] = R_new
         feature_o[0] = featf.astype(jnp.int32)
         cut_o[0] = cutf.astype(jnp.int32)
         lv_o[0] = lv_new
-        lidx_o[0] = lidx
-        tfit_o[0] = new_fit
+        if n_slices == 1:
+            new_fit = fit_slices[0]
+            R_new = R + old_fit - new_fit
+            resid_s[:, :] = R_new
+            resid_o[:, :] = R_new
+            lidx_o[0] = lidx_slices[0]
+            tfit_o[0] = new_fit
+        else:
+            # per-slice ref writes: Mosaic cannot lane-concatenate the
+            # computed slices back into one (1, NPAD) value
+            ns_k = npad // n_slices
+            for s in range(n_slices):
+                sl = slice(s * ns_k, (s + 1) * ns_k)
+                new_fit_s = fit_slices[s]
+                R_new_s = (resid_s[:, sl] + tfit_ref[0, :, sl]
+                           - new_fit_s)
+                resid_s[:, sl] = R_new_s
+                resid_o[:, sl] = R_new_s
+                lidx_o[0, :, sl] = lidx_slices[s]
+                tfit_o[0, :, sl] = new_fit_s
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "interpret"),
+    static_argnames=("cfg", "n_obs", "npad", "n_slices", "interpret"),
 )
 def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
                 ranks_f, spcum, psplit, depths, u, zn, scal,
-                n_obs: int, npad: int, interpret: bool):
+                n_obs: int, npad: int, n_slices: int, interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     f32 = jnp.float32
@@ -389,7 +517,7 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
     row_t = lambda t: (t, 0, 0)       # noqa: E731
     row_0 = lambda t: (0, 0)          # noqa: E731
 
-    kernel = _make_kernel(cfg, npad, P)
+    kernel = _make_kernel(cfg, npad, P, n_slices)
     outs = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -473,7 +601,8 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
-        u, zn, scal, n_obs=N, npad=NPAD, interpret=interpret,
+        u, zn, scal, n_obs=N, npad=NPAD, n_slices=consts.n_slices,
+        interpret=interpret,
     )
 
     dtype = state.allfit.dtype
@@ -511,7 +640,8 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
     return new_state, varcount
 
 
-def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int):
+def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
+                       n_slices: int = 1):
     f32 = jnp.float32
 
     def kernel(scal_ref, u_ref,
@@ -533,7 +663,7 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int):
         old_fit = tfit_ref[0, 0]                 # (CB, NPAD)
         r = R + old_fit
 
-        featf, cutf, lidx, lv_new, new_fit = _tree_step_math(
+        featf, cutf, lidx_slices, lv_new, fit_slices = _tree_step_math(
             cfg, p_feat,
             feature_ref[0, 0].astype(f32), cut_ref[0, 0].astype(f32),
             lidx_ref[0, 0], r,
@@ -542,28 +672,43 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int):
             u[:, 5:6],
             zn_ref[0, 0], ranks_ref[:, :], spcum_ref[:, :],
             psplit_ref[:, :], depths_ref[:, :],
+            n_slices=n_slices,
         )
 
-        R_new = R + old_fit - new_fit
-        resid_s[:, :] = R_new
-        resid_o[0] = R_new
         feature_o[0, 0] = featf.astype(jnp.int32)
         cut_o[0, 0] = cutf.astype(jnp.int32)
         lv_o[0, 0] = lv_new
-        lidx_o[0, 0] = lidx
-        tfit_o[0, 0] = new_fit
+        if n_slices == 1:
+            new_fit = fit_slices[0]
+            R_new = R + old_fit - new_fit
+            resid_s[:, :] = R_new
+            resid_o[0] = R_new
+            lidx_o[0, 0] = lidx_slices[0]
+            tfit_o[0, 0] = new_fit
+        else:
+            ns_k = npad // n_slices
+            for s in range(n_slices):
+                sl = slice(s * ns_k, (s + 1) * ns_k)
+                new_fit_s = fit_slices[s]
+                R_new_s = (resid_s[:, sl] + tfit_ref[0, 0, :, sl]
+                           - new_fit_s)
+                resid_s[:, sl] = R_new_s
+                resid_o[0, :, sl] = R_new_s
+                lidx_o[0, 0, :, sl] = lidx_slices[s]
+                tfit_o[0, 0, :, sl] = new_fit_s
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "cb", "interpret"),
+    static_argnames=("cfg", "n_obs", "npad", "cb", "n_slices",
+                     "interpret"),
 )
 def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
                       resid0, ranks_f, spcum, psplit, depths, u, zn,
                       scal, n_obs: int, npad: int, cb: int,
-                      interpret: bool):
+                      n_slices: int, interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     cblk = featp.shape[0]
@@ -573,7 +718,7 @@ def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     chain3 = lambda c, t: (c, 0, 0)     # noqa: E731
     const2 = lambda c, t: (0, 0)        # noqa: E731
 
-    kernel = _make_batch_kernel(cfg, npad, P, cb)
+    kernel = _make_batch_kernel(cfg, npad, P, cb, n_slices)
     outs = pl.pallas_call(
         kernel,
         grid=(cblk, T),
@@ -644,7 +789,16 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
     N, NPAD = consts.n_obs, consts.npad
     f32 = jnp.float32
     C = state.feature.shape[0]
-    cb = _pick_chain_block(C, chain_block)
+    # VMEM budget: Mosaic keeps ~10 (CB, NPAD) f32 row buffers live per
+    # grid step (residual carries, lidx/fit blocks, slice reshapes,
+    # concat results — measured: 36.6M scoped at CB=4, NPAD=51840).
+    # Cap CB*NPAD at 82944 lanes (= the headline CB=8 x NPAD=10368) so
+    # large-n runs shrink the chain block instead of blowing the 16M
+    # scoped-VMEM stack; n=50k lands at CB=1 (~9M), which the 5x-wider
+    # lanes amortize instead of the chain block
+    lane_budget = int(os.environ.get("S4B_SWEEP_CB_LANES", "82944"))
+    cb_cap = max(1, lane_budget // NPAD)
+    cb = _pick_chain_block(C, min(chain_block, cb_cap))
     cblk = C // cb
 
     if variates is None:
@@ -688,7 +842,8 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_batch(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
-        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb, interpret=interpret,
+        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb,
+        n_slices=consts.n_slices, interpret=interpret,
     )
 
     dtype = state.allfit.dtype

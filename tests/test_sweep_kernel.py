@@ -358,3 +358,81 @@ def test_step_batched_keep_trees_and_skip_bart():
     np.testing.assert_allclose(np.asarray(dv.stan),
                                np.asarray(draws.stan),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_sliced_sweep_matches_xla_on_same_variates():
+    """Lane-sliced kernel body (n_slices > 1, the large-n VMEM path)
+    samples the same forests as the XLA sweep on shared variates —
+    per-chain and chain-blocked variants."""
+    from stan4bart_tpu.ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+    n = 600
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(n, P))
+    y = (np.sin(X[:, 0]) + X[:, 1] ** 2
+         + rng.normal(scale=0.5, size=n)).astype(np.float32)
+    cfg = BartConfig(num_trees=T)
+    cuts = bart_ops.make_cut_grid(X, cfg.n_cuts)
+    ranks = bart_ops.compute_ranks(X, cuts)
+    split_probs = np.full(P, 1.0 / P, dtype=np.float32)
+    consts = make_sweep_consts(cfg, ranks, split_probs, lane_slice=256)
+    assert consts.n_slices == 3, consts  # 640 -> npad 768, three slices
+    state = bart_ops.bart_init(cfg, n, dtype=jnp.float32)
+    yj = jnp.asarray(y)
+    rj = jnp.asarray(ranks)
+    sj = jnp.asarray(split_probs)
+    sigma = jnp.asarray(0.7, jnp.float32)
+
+    key = jax.random.PRNGKey(21)
+    s_xla, s_ker = state, state
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        var = _draw_variates(sub)
+        s_xla, vc_xla = bart_ops.bart_sweep(
+            cfg, s_xla, yj, rj, sj, sigma, jax.random.PRNGKey(0),
+            variates=var,
+        )
+        s_ker, vc_ker = bart_sweep_fused(
+            cfg, s_ker, yj, consts, sigma, jax.random.PRNGKey(0),
+            variates=var, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.feature), np.asarray(s_ker.feature),
+            err_msg=f"sliced sweep {i}: tree structures diverged",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.leaf_idx), np.asarray(s_ker.leaf_idx))
+        np.testing.assert_array_equal(np.asarray(vc_xla),
+                                      np.asarray(vc_ker))
+        np.testing.assert_allclose(
+            np.asarray(s_xla.allfit), np.asarray(s_ker.allfit),
+            rtol=5e-4, atol=5e-4,
+        )
+
+    # chain-blocked batch kernel over the sliced body
+    C = 4
+    keys = jax.random.split(jax.random.PRNGKey(5), C)
+    u = jax.vmap(lambda k: jax.random.uniform(
+        k, (T, 8), dtype=jnp.float32))(keys)
+    zn = jax.vmap(lambda k: jax.random.normal(
+        k, (T, 128), dtype=jnp.float32))(keys)
+    sb = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (C,) + a.shape), state)
+    sig_b = jnp.full((C,), 0.7, jnp.float32)
+    s_batch, vc_batch = bart_sweep_fused_batch(
+        cfg, sb, jnp.broadcast_to(yj, (C, n)), consts, sig_b, keys,
+        chain_block=2, variates=(u, zn), interpret=True,
+    )
+    for c in range(C):
+        s1, vc1 = bart_sweep_fused(
+            cfg, state, yj, consts, sigma, keys[c],
+            variates=(u[c], zn[c]), interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_batch.feature[c]), np.asarray(s1.feature))
+        np.testing.assert_array_equal(np.asarray(vc_batch[c]),
+                                      np.asarray(vc1))
+        np.testing.assert_allclose(
+            np.asarray(s_batch.allfit[c]), np.asarray(s1.allfit),
+            rtol=5e-4, atol=5e-4,
+        )
