@@ -57,6 +57,15 @@ MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "6"))
 # opt-in exact sigma conditional Gibbs kernel (decouples sigma mixing from
 # NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
 SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
+# exact conjugate refresh of [gamma|beta|b] + additive-level interweave
+# (GibbsProgram.linear_gibbs / level_gibbs).  CPU-measured at n=2000:
+# the pair lifted watchlist ESS/draw 10-500x (beta 11->1042, b 2->1014,
+# theta_L 3->986, sigma 19->49 per 4800 draws) at ~13% LOWER wall cost;
+# either alone is much weaker (lvl alone lets the beta<->slope ridge
+# wander; lg alone leaves the level random walk).  BENCH_LG/BENCH_LVL
+# for chip A/B.
+LINEAR_GIBBS = os.environ.get("BENCH_LG", "0") == "1"
+LEVEL_GIBBS = os.environ.get("BENCH_LVL", "0") == "1"
 # cross-chain pooled NUTS adaptation over the 64-chain axis:
 # BENCH_POOLED=1/metric (window-end metric only), stepsize, or both.
 # Accept-signal pooling measured harmful (NutsConfig.pooled_parts note).
@@ -140,6 +149,8 @@ def main():
                             pooled_parts=POOLED_PARTS if POOLED
                             else "metric"),
         sigma_gibbs=SIGMA_GIBBS,
+        linear_gibbs=LINEAR_GIBBS,
+        level_gibbs=LEVEL_GIBBS,
         sweep_kernel=SWEEP_KERNEL,
         gram_lik=GRAM,
     )

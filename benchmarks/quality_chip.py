@@ -31,12 +31,19 @@ def main():
 
     d = generate_friedman_data(250, ranef=True, causal=True)
     df = friedman_dataframe(d)
+    # QUALITY_IW=1: run the gates with the conjugate interweaving pair
+    # (centered ranef + linear_gibbs + level_gibbs) — the candidate
+    # production sampler config (docs/interweaving.md)
+    iw = os.environ.get("QUALITY_IW", "0") == "1"
+    stan_args = ({"centered_ranef": True, "linear_gibbs": True,
+                  "level_gibbs": True} if iw else None)
     fit = s4b.stan4bart(
         "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
         "+ (1 | g.2)",
         df, treatment="z",
         chains=3, warmup=300, iter=1000, seed=7, verbose=-1,
         bart_args={"n.trees": 50, "sweep_kernel": True},
+        stan_args=stan_args,
         dtype=jnp.float32,
         # respect the axon tunnel's ~60s single-execution cap
         chunk_size=100,

@@ -405,6 +405,8 @@ def stan4bart(
         adapt_base_window=resolved_stan_args.adapt_base_window,
         stepsize_init=resolved_stan_args.stepsize,
         sigma_gibbs=resolved_stan_args.sigma_gibbs,
+        linear_gibbs=resolved_stan_args.linear_gibbs,
+        level_gibbs=resolved_stan_args.level_gibbs,
         gram_lik=resolved_stan_args.gram_lik,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",

@@ -124,6 +124,28 @@ class GibbsProgram:
         # the Gibbs-moving conditional (round-1 measured ESS(sigma)/draw
         # ~ 0.01 — the declared min-ESS/s bottleneck).  Beyond-reference.
         sigma_gibbs: bool = False,
+        # extra exact conjugate Gibbs refresh of the linear block
+        # v = [gamma|beta|b] from its full conditional given
+        # (offset, aux, theta_L) — closed-form MVN via the Gram matrix
+        # (ParametricModel.linear_gibbs_refresh).  Valid
+        # Metropolis-within-Gibbs composition; targets the beta <-> b
+        # hierarchical ridge a diagonal-metric NUTS traverses slowly.
+        # Requires all-normal/flat gamma/beta priors + centered ranef.
+        linear_gibbs: bool = False,
+        # extra exact Gibbs update along the additive-shift subspace
+        # {per-tree leaf-level shifts c_t} x {per-ranef-term intercept
+        # shifts a_i} (x gamma): the global response level is traded
+        # between the BART ensemble's mean and the group-intercept means
+        # — an (almost) likelihood-flat direction the offset exchange
+        # random-walks at BART's slowest timescale (measured ESS(b
+        # intercepts) ~ 2-4 per 4800 draws at n=2000).  The conditional
+        # posterior restricted to this affine subspace is Gaussian in
+        # (c, a), so one (T+m)-dimensional conjugate draw per iteration
+        # re-mixes the direction exactly.  A directional-Gibbs kernel:
+        # posterior invariant.  Requires centered ranef + default
+        # offset_type; no reference counterpart (interweaving is
+        # impossible across its dbarts/Stan process boundary).
+        level_gibbs: bool = False,
         keep_trees: bool = False,
         # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
         # estimates (fixef, SATE) and the BART fit track NUTS closely but
@@ -227,6 +249,53 @@ class GibbsProgram:
 
         self.stepsize_init = float(stepsize_init)
         self.sigma_gibbs = bool(sigma_gibbs) and not self.is_binary
+        self.linear_gibbs = False
+        if linear_gibbs:
+            max_d = int(os.environ.get("S4B_LINEAR_GIBBS_MAX_D", "512"))
+            if D > max_d or not pm.enable_linear_gibbs():
+                import warnings
+
+                warnings.warn(
+                    "linear_gibbs requested but the model is ineligible "
+                    "(needs normal/flat gamma+beta priors, centered "
+                    f"ranef, and D <= {max_d}); running without it"
+                )
+            else:
+                self.linear_gibbs = True
+
+        # level_gibbs: static structure — ranef terms with an all-ones
+        # (intercept) column, plus gamma if present.  The shift subspace
+        # needs at least one parametric compensator to be useful.
+        self.level_gibbs = False
+        if level_gibbs and parametric_method == "nuts":
+            terms = []
+            for ti, ((lhs, gidx), pi) in enumerate(
+                zip(pm.z_structs, pm.cfg.p)
+            ):
+                lhs_np = np.asarray(lhs)
+                for j in range(pi):
+                    if np.allclose(lhs_np[:, j], 1.0):
+                        terms.append((ti, j))
+                        break
+            eligible = (
+                (pm.cfg.q == 0 or pm.cfg.centered)
+                and offset_type == "default"
+                and (terms or pm.cfg.has_intercept)
+                and (pm.cfg.q == 0 or not terms
+                     or pm.cfg.cov_prior in (0, 1))
+            )
+            if not eligible:
+                import warnings
+
+                warnings.warn(
+                    "level_gibbs requested but the model is ineligible "
+                    "(needs centered ranef with an intercept term or a "
+                    "model intercept, default offset_type); running "
+                    "without it"
+                )
+            else:
+                self.level_gibbs = True
+                self._level_terms = terms
 
         # NUTS windowed-adaptation schedule over warmup * skip_stan
         # transitions (interruptable_sampler.hpp:171)
@@ -285,8 +354,11 @@ class GibbsProgram:
         else:
             resp = self.y - bart_offset
             rng_scale = jnp.max(resp) - jnp.min(resp)
-        return cfg.node_scale * rng_scale / (
-            k * np.sqrt(cfg.num_trees)
+        # NOTE: np.sqrt returns a float64 scalar — without the cast the
+        # result silently promotes downstream state to f64 under x64
+        return jnp.asarray(
+            cfg.node_scale * rng_scale / (k * np.sqrt(cfg.num_trees)),
+            self.dtype,
         )
 
     # ------------------------------------------------------------------
@@ -429,6 +501,131 @@ class GibbsProgram:
         x_new = jnp.where(done, x_new, x0)
         return q.at[off].set(x_new)
 
+    def _level_gibbs_update(self, nuts, bart_state, bart_offset, latents,
+                            rng):
+        """One conjugate draw of the additive-shift coordinates
+        s = (c_1..c_T [, a_i per intercept ranef term] [, g]):
+
+            leaf_value[t, leaves] += c_t   (=> f += sum c_t)
+            b[term i, all levels, intercept col] += a_i
+            gamma += g
+
+        The restricted conditional is Gaussian: the likelihood sees only
+        the total shift delta = sum(s) (precision sum(w)/sigma^2 rank-one
+        block), the leaf prior N(0, sigma_mu^2) gives diag L_t/sigma_mu^2
+        with linear term -S_t/sigma_mu^2, and the centered b prior gives
+        diag l_i * Prec_i[j0,j0] with linear term -sum_lev (Prec_i
+        b_lev)[j0].  Exact directional Gibbs; posterior invariant."""
+        pm, cfg = self.pm, self.bart_cfg
+        hi = jax.lax.Precision.HIGHEST
+        y_stan = latents if self.is_binary else self.y
+        c, _ = pm.layout.constrain(nuts.q)
+        tp = pm.transformed(c)
+        sigma = (jnp.asarray(1.0, self.dtype) if self.is_binary
+                 else tp["aux"])
+        inv_s2 = 1.0 / (sigma * sigma)
+
+        r = y_stan - bart_state.allfit - bart_offset
+        if self.weights is not None:
+            sw = jnp.sum(self.weights)
+            swr = jnp.dot(self.weights, r, precision=hi)
+        else:
+            sw = jnp.asarray(float(self.N), self.dtype)
+            swr = jnp.sum(r)
+
+        leaf_mask = (bart_state.feature == bart_ops.LEAF).astype(self.dtype)
+        L_t = jnp.sum(leaf_mask, axis=1)                       # (T,)
+        S_t = jnp.sum(bart_state.leaf_value * leaf_mask, axis=1)
+        inv_smu2 = 1.0 / (bart_state.sigma_mu * bart_state.sigma_mu)
+        diag = [L_t * inv_smu2]
+        lin = [-S_t * inv_smu2]
+
+        th = tp["theta_L"]
+        b = tp["b"]
+        # theta_L vech offsets per term (static)
+        th_offs = []
+        off = 0
+        for nc in pm.cfg.p:
+            th_offs.append(off)
+            off += nc + (nc * (nc - 1)) // 2
+        for ti, j0 in self._level_terms:
+            nc, li = pm.cfg.p[ti], pm.cfg.l[ti]
+            tm = th_offs[ti]
+            if nc == 1:
+                prec_jj = 1.0 / (th[tm] * th[tm])
+                b_seg = b[pm.b_offsets[ti] : pm.b_offsets[ti] + li]
+                diag.append((li * prec_jj)[None])
+                lin.append((-(prec_jj * jnp.sum(b_seg)))[None])
+            else:
+                rows, cols_, vals = [], [], []
+                for ci in range(nc):
+                    for ri in range(ci, nc):
+                        rows.append(ri)
+                        cols_.append(ci)
+                        vals.append(th[tm])
+                        tm += 1
+                T = jnp.zeros((nc, nc), dtype=self.dtype)
+                T = T.at[np.array(rows), np.array(cols_)].set(
+                    jnp.stack(vals)
+                )
+                Tinv = jax.scipy.linalg.solve_triangular(
+                    T, jnp.eye(nc, dtype=self.dtype), lower=True
+                )
+                prec = jnp.dot(Tinv.T, Tinv, precision=hi)
+                b_mat = b[pm.b_offsets[ti] : pm.b_offsets[ti] + nc * li
+                          ].reshape(li, nc)
+                diag.append((li * prec[j0, j0])[None])
+                lin.append(
+                    (-jnp.sum(jnp.dot(b_mat, prec[j0], precision=hi)))[None]
+                )
+        include_gamma = (
+            pm.cfg.has_intercept
+            and pm.cfg.prior_dist_for_intercept in (0, 1)
+        )
+        if include_gamma:
+            if pm.cfg.prior_dist_for_intercept == 1:
+                s_g = pm.hyper["prior_scale_for_intercept"]
+                m_g = pm.hyper["prior_mean_for_intercept"]
+                pg = 1.0 / (s_g * s_g)
+            else:
+                pg = jnp.asarray(0.0, self.dtype)
+                m_g = jnp.asarray(0.0, self.dtype)
+            diag.append(pg[None] if hasattr(pg, "shape") else
+                        jnp.asarray([pg], self.dtype))
+            lin.append((-(pg * (c["gamma"][0] - m_g)))[None])
+
+        d = jnp.concatenate([jnp.atleast_1d(x) for x in diag])
+        h = jnp.concatenate([jnp.atleast_1d(x) for x in lin])
+        h = h + swr * inv_s2
+        dim = d.shape[0]
+        M = sw * inv_s2 * jnp.ones((dim, dim), dtype=self.dtype) \
+            + jnp.diag(d)
+        Lm = jnp.linalg.cholesky(M)
+        mean = jax.scipy.linalg.cho_solve((Lm, True), h)
+        z = jax.random.normal(rng, (dim,), dtype=self.dtype)
+        s = mean + jax.scipy.linalg.solve_triangular(Lm.T, z, lower=False)
+
+        # apply: trees
+        T_trees = cfg.num_trees
+        c_t = s[:T_trees]
+        bart_state = bart_state._replace(
+            leaf_value=bart_state.leaf_value + c_t[:, None] * leaf_mask,
+            tree_fit=bart_state.tree_fit + c_t[:, None],
+            allfit=bart_state.allfit + jnp.sum(c_t),
+        )
+        # apply: ranef intercepts + gamma into the unconstrained vector
+        q = nuts.q
+        pos = T_trees
+        b_off0 = pm.layout.slices["b_raw"][0] if pm.cfg.q > 0 else 0
+        for ti, j0 in self._level_terms:
+            nc, li = pm.cfg.p[ti], pm.cfg.l[ti]
+            idx = b_off0 + pm.b_offsets[ti] + np.arange(li) * nc + j0
+            q = q.at[idx].add(s[pos])
+            pos += 1
+        if include_gamma:
+            q = q.at[pm.layout.slices["gamma"][0]].add(s[pos])
+        return nuts._replace(q=q), bart_state
+
     def _pre_sweep(self, state: GibbsState, it, is_warmup: bool):
         """Everything before the BART sweep(s): NUTS/VI transition(s),
         optional sigma-Gibbs, parametric mean -> BART offset, warmup
@@ -494,6 +691,18 @@ class GibbsProgram:
                 jax.random.fold_in(rng, 0x516),
             )
             nuts = nuts._replace(q=q_sg)
+
+        # ---- (1c, optional) exact conjugate linear-block refresh --------
+        # one closed-form MVN draw of v = [gamma|beta|b] from its full
+        # conditional (ParametricModel.linear_gibbs_refresh); lp telemetry
+        # recomputed at the refreshed point so the stored row is coherent
+        if self.linear_gibbs:
+            q_lg = pm.linear_gibbs_refresh(
+                nuts.q, stan_offset, y_stan,
+                jax.random.fold_in(rng, 0x117),
+            )
+            nuts = nuts._replace(q=q_lg)
+            info = info._replace(lp=logp(q_lg))
 
         # ---- (2) parametric mean -> BART offset -------------------------
         c, _ = pm.layout.constrain(nuts.q)
@@ -565,9 +774,30 @@ class GibbsProgram:
         """BART fit -> Stan offset, then draw packaging (per chain)."""
         pm, cfg = self.pm, self.bart_cfg
 
+        # ---- (4b, optional) additive-level interweave --------------------
+        # one conjugate draw over (per-tree leaf shifts, ranef-intercept
+        # shifts): re-mixes the prior-identified global-level direction
+        # the offset exchange random-walks (_level_gibbs_update).  lp
+        # telemetry is recomputed below so the stored row stays coherent.
+        if self.level_gibbs:
+            nuts, bart_state = self._level_gibbs_update(
+                nuts, bart_state, bart_offset, latents,
+                jax.random.fold_in(rng, 0x1e7),
+            )
+
         # ---- (5) BART fit -> Stan offset ---------------------------------
         bart_fit = bart_state.allfit
         stan_offset = self._stan_offset_from_fit(bart_fit)
+        if self.level_gibbs:
+            y_stan = latents if self.is_binary else self.y
+            if self.use_gram:
+                # one O(N*D) anchored pass — avoids the direct path's
+                # (N, l) one-hot Z rebuild just for telemetry
+                anchor = pm.gram_anchor(nuts.q, stan_offset, y_stan)
+                lp_new = pm.log_prob_gram(nuts.q, anchor)
+            else:
+                lp_new = pm.log_prob(nuts.q, stan_offset, y_stan)
+            info = info._replace(lp=lp_new)
 
         # ---- draw packaging ----------------------------------------------
         stan_row = jnp.concatenate([

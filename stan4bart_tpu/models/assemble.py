@@ -58,6 +58,14 @@ class StanArgs:
     # extra exact sigma conditional update per iteration (same posterior,
     # decouples sigma mixing from NUTS drift; GibbsProgram.sigma_gibbs)
     sigma_gibbs: bool = False
+    # extra exact conjugate refresh of [gamma|beta|b] from its full
+    # conditional per iteration (same posterior; GibbsProgram.linear_gibbs;
+    # needs normal/flat gamma+beta priors and centered_ranef)
+    linear_gibbs: bool = False
+    # extra conjugate interweave of the additive level between the tree
+    # ensemble and the ranef intercepts (same posterior;
+    # GibbsProgram.level_gibbs; needs centered_ranef)
+    level_gibbs: bool = False
     # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
     # reformulation; GibbsProgram.gram_lik).  None = auto by D
     gram_lik: bool | None = None

@@ -874,6 +874,154 @@ class ParametricModel:
                 b_mark += nc * li
         return lp
 
+    # -- exact conjugate refresh of the linear block ----------------------
+
+    def enable_linear_gibbs(self) -> bool:
+        """Eligibility + setup for ``linear_gibbs_refresh``: with all-normal
+        (or flat) priors on gamma/beta and the centered MVN(0, T T') prior
+        on b, the full conditional of v = [gamma | beta | b] given
+        (offset, aux, theta_L) is exactly multivariate normal with
+        precision G / aux^2 + P_prior — a closed-form Gibbs block the
+        reference has no counterpart for (its Stan kernel is the only
+        sampler of the parametric coordinates).  Requires the Gram
+        structures (``enable_gram``)."""
+        if getattr(self, "_lg_ready", False):
+            return True
+        cfg = self.cfg
+        if cfg.K > 0 and cfg.prior_dist not in (0, 1):
+            return False
+        if (cfg.has_intercept
+                and cfg.prior_dist_for_intercept not in (0, 1)):
+            return False
+        if cfg.q > 0 and not cfg.centered:
+            return False
+        if not self.enable_gram():
+            return False
+        D = self.gram_G.shape[0]
+        # fixed prior mean + precision for the [gamma | beta] head; the b
+        # block precisions depend on theta_L and are filled per call
+        mu = np.zeros(D)
+        prec = np.zeros(D)
+        pos = 0
+        h = self.hyper
+        if cfg.has_intercept:
+            if cfg.prior_dist_for_intercept == 1:
+                s = float(np.asarray(h["prior_scale_for_intercept"]))
+                if s <= 0:
+                    return False
+                mu[0] = float(np.asarray(h["prior_mean_for_intercept"]))
+                prec[0] = 1.0 / (s * s)
+            pos = 1
+        if cfg.K > 0 and cfg.prior_dist == 1:
+            s = np.asarray(h["prior_scale"], np.float64).reshape(-1)
+            s = np.broadcast_to(s, (cfg.K,))
+            if np.any(s <= 0):
+                return False
+            m = np.asarray(h["prior_mean"], np.float64).reshape(-1)
+            mu[pos : pos + cfg.K] = np.broadcast_to(m, (cfg.K,))
+            prec[pos : pos + cfg.K] = 1.0 / (s * s)
+        self._lg_mu = jnp.asarray(mu, self.dtype)
+        self._lg_prec_head = jnp.asarray(prec, self.dtype)
+        self._lg_b_off = pos + cfg.K
+        self._lg_ready = True
+        return True
+
+    def linear_gibbs_refresh(self, u, offset_, y, rng):
+        """One exact draw from the full conditional of v = [gamma|beta|b]
+        given (aux, theta_L, offset_, y), written back into the
+        unconstrained vector.  Anchored at the current draw like
+        ``log_prob_gram`` so every f32 magnitude stays at the
+        residual/step scale:
+
+            Q  = G / aux^2 + P(theta_L)
+            d* = Q^{-1} (g / aux^2 - P (v_hat - mu))
+            v  = v_hat + d* + L^{-T} z,   L = chol(Q),  z ~ N(0, I_D)
+
+        A valid Metropolis-within-Gibbs component: the conditional is the
+        exact posterior conditional, so the invariant distribution is
+        unchanged (composition with the NUTS kernel)."""
+        cfg = self.cfg
+        hi = jax.lax.Precision.HIGHEST
+        c, _ = self.layout.constrain(u)
+        tp = self.transformed(c)
+        aux = (jnp.asarray(1.0, self.dtype) if cfg.is_binary
+               else tp["aux"])
+        vhat = self._coef_vector(c, tp)
+
+        # anchored likelihood statistics (one O(N*D) pass)
+        eta = offset_ + jnp.dot(self.gram_A, vhat, precision=hi)
+        r = y - eta
+        rw = r * self.weights if cfg.has_weights else r
+        g = jnp.dot(rw, self.gram_A, precision=hi)
+
+        # prior precision P: fixed head + per-term b blocks from theta_L
+        # (dispersion already folded into theta_L under decov)
+        D = self.gram_G.shape[0]
+        P = jnp.diag(self._lg_prec_head)
+        th = tp["theta_L"]
+        th_mark = 0
+        col = self._lg_b_off
+        for nc, li in zip(cfg.p, cfg.l):
+            if nc == 1:
+                prec_i = 1.0 / (th[th_mark] * th[th_mark])
+                idx = col + np.arange(li)
+                P = P.at[idx, idx].add(prec_i)
+                th_mark += 1
+                col += li
+            else:
+                rows, cols_, vals = [], [], []
+                for ci in range(nc):
+                    for ri in range(ci, nc):
+                        rows.append(ri)
+                        cols_.append(ci)
+                        vals.append(th[th_mark])
+                        th_mark += 1
+                T = jnp.zeros((nc, nc), dtype=self.dtype)
+                T = T.at[np.array(rows), np.array(cols_)].set(
+                    jnp.stack(vals)
+                )
+                Tinv = jax.scipy.linalg.solve_triangular(
+                    T, jnp.eye(nc, dtype=self.dtype), lower=True
+                )
+                Pi = jnp.dot(Tinv.T, Tinv, precision=hi)
+                Pb = jnp.kron(jnp.eye(li, dtype=self.dtype), Pi)
+                P = P.at[col : col + li * nc,
+                         col : col + li * nc].add(Pb)
+                col += li * nc
+
+        inv_aux2 = 1.0 / (aux * aux)
+        Q = self.gram_G * inv_aux2 + P
+        rhs = g * inv_aux2 - jnp.dot(P, vhat - self._lg_mu, precision=hi)
+        L = jnp.linalg.cholesky(Q)
+        d_mean = jax.scipy.linalg.cho_solve((L, True), rhs)
+        z = jax.random.normal(rng, (D,), dtype=self.dtype)
+        d = d_mean + jax.scipy.linalg.solve_triangular(
+            L.T, z, lower=False
+        )
+        v_new = vhat + d
+
+        # write back into the unconstrained layout
+        pos = 0
+        if cfg.has_intercept:
+            off = self.layout.slices["gamma"][0]
+            u = u.at[off].set(v_new[0])
+            pos = 1
+        if cfg.K > 0:
+            beta_new = jax.lax.dynamic_slice_in_dim(v_new, pos, cfg.K)
+            if cfg.prior_dist == 1:
+                zb = (beta_new - self.hyper["prior_mean"]) \
+                    / self.hyper["prior_scale"]
+            else:
+                zb = beta_new
+            off = self.layout.slices["z_beta"][0]
+            u = jax.lax.dynamic_update_slice_in_dim(u, zb, off, 0)
+            pos += cfg.K
+        if cfg.q > 0:
+            b_new = jax.lax.dynamic_slice_in_dim(v_new, pos, cfg.q)
+            off = self.layout.slices["b_raw"][0]
+            u = jax.lax.dynamic_update_slice_in_dim(u, b_new, off, 0)
+        return u
+
     def initial_inv_mass(self, scale_y: float, n_obs: int) -> np.ndarray:
         """Analytic initial diagonal inverse-metric (posterior-variance
         heuristics on the unconstrained scale).  The reference starts NUTS
