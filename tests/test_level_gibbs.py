@@ -24,18 +24,19 @@ from stan4bart_tpu.utils.friedman import (
 )
 
 
-@pytest.fixture(scope="module")
-def setup():
+def _setup(weights=False):
     df = friedman_dataframe(
         generate_friedman_data(150, ranef=True, causal=True)
     )
     mf = build_model_frame(
-        "y ~ bart(X1 + X2) + X4 + z + (1 + X4 | g.1) + (1 | g.2)", df
+        "y ~ bart(X1 + X2) + X4 + z + (1 + X4 | g.1) + (1 | g.2)", df,
+        weights=np.linspace(0.5, 2.0, 150) if weights else None,
     )
     pm, _, _ = build_parametric_model(mf, "gaussian",
                                       {"centered_ranef": True})
     prog = GibbsProgram(
         pm, BartConfig(num_trees=7), mf.y, mf.bart_X,
+        weights=mf.weights if weights else None,
         warmup=5, iterations=5, level_gibbs=True,
     )
     assert prog.level_gibbs
@@ -48,8 +49,14 @@ def setup():
     return mf, pm, prog, state
 
 
-def test_level_update_matches_autodiff_conditional(setup):
-    mf, pm, prog, state = setup
+@pytest.fixture(scope="module")
+def setup():
+    return _setup()
+
+
+@pytest.mark.parametrize("weights", [False, True])
+def test_level_update_matches_autodiff_conditional(setup, weights):
+    mf, pm, prog, state = _setup(weights) if weights else setup
     T = prog.bart_cfg.num_trees
     nuts, bart_state = state.nuts, state.bart
     # bart_offset as the step computes it (phase 2)
@@ -85,10 +92,16 @@ def test_level_update_matches_autodiff_conditional(setup):
         c_, _ = pm.layout.constrain(q)
         tp = pm.transformed(c_)
         lp = lp + pm._centered_b_lpdf(tp["b"], tp["theta_L"])
-        # likelihood with total shift
+        # likelihood with total shift (weighted variant matches
+        # ParametricModel.log_prob's weighted form up to constants)
         eta = (bart_state.allfit + jnp.sum(c_t) + bart_offset
                + jnp.sum(a))
-        lp = lp + dists.normal_lpdf(y, eta, sigma)
+        if prog.weights is not None:
+            lp = lp - 0.5 * jnp.dot(
+                prog.weights, (y - eta) ** 2
+            ) / (sigma * sigma)
+        else:
+            lp = lp + dists.normal_lpdf(y, eta, sigma)
         return lp
 
     s0 = jnp.zeros(dim)

@@ -137,6 +137,26 @@ def test_ineligible_configs_fall_back():
     assert not pm2.enable_linear_gibbs()
 
 
+def test_e2e_qr_with_kernels(df):
+    """QR reparameterization composes with the interweaving pair: the
+    refresh operates on the QR-space coefficients (normal prior on the
+    rotated betas), and extract() un-rotates as usual."""
+    from stan4bart_tpu import stan4bart
+
+    fit = stan4bart(
+        "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
+        "+ (1 | g.2)",
+        df, seed=3, chains=2, iter=200, warmup=100, verbose=-1,
+        bart_args={"n.trees": 15},
+        stan_args={"qr": True, "centered_ranef": True,
+                   "linear_gibbs": True, "level_gibbs": True},
+    )
+    fx = fit.extract("fixef")
+    assert fx.shape[0] == 2 and np.all(np.isfinite(fx))
+    sig = fit.extract("sigma").mean()
+    assert 0.5 < sig < 2.5
+
+
 def test_e2e_posterior_unchanged(df):
     """linear_gibbs is an extra kernel over the SAME posterior (exactness
     is pinned by test_refresh_matches_autodiff_conditional): a short
