@@ -73,6 +73,9 @@ def main():
     prog = GibbsProgram(
         pm, BartConfig(num_trees=args.trees), mf.y, mf.bart_X,
         warmup=args.warmup, iterations=args.iters, dtype=jnp.float32,
+        # the denominator is the REFERENCE-equivalent sampler: keep the
+        # (auto-on) interweaving kernels out — the reference has none
+        linear_gibbs=False, level_gibbs=False,
     )
 
     key = jax.random.PRNGKey(0)

@@ -48,10 +48,15 @@ mf = build_model_frame(
 pm, _, _ = build_parametric_model(mf, "gaussian", {"centered_ranef": True})
 
 configs = {
-    "base": dict(),
-    "lg": dict(linear_gibbs=True),
-    "lg+sg": dict(linear_gibbs=True, sigma_gibbs=True),
-    "lvl": dict(level_gibbs=True),
+    # pin the pair OFF: the package default is auto-on for eligible
+    # models, which would silently turn "base" into lg+lvl
+    "base": dict(linear_gibbs=False, level_gibbs=False),
+    # single-kernel arms pin the partner OFF (an explicit True would
+    # otherwise auto-activate the other half of the pair)
+    "lg": dict(linear_gibbs=True, level_gibbs=False),
+    "lg+sg": dict(linear_gibbs=True, level_gibbs=False,
+                  sigma_gibbs=True),
+    "lvl": dict(level_gibbs=True, linear_gibbs=False),
     "lg+lvl": dict(linear_gibbs=True, level_gibbs=True),
     "lg+sg+lvl": dict(linear_gibbs=True, sigma_gibbs=True,
                       level_gibbs=True),

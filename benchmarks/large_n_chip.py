@@ -56,6 +56,9 @@ def main():
             pm, BartConfig(num_trees=TREES), mf.y, mf.bart_X,
             warmup=4, iterations=ITERS, dtype=jnp.float32,
             sweep_kernel=sweep_kernel,
+            # sweep-phase timing only: keep the (auto-on) interweaving
+            # kernels out of both paths
+            linear_gibbs=False, level_gibbs=False,
         )
         label = "fused-sliced" if sweep_kernel else "xla-scan"
         if sweep_kernel:

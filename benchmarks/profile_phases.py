@@ -51,6 +51,9 @@ def main():
         warmup=warmup, iterations=chunk, dtype=jnp.float32,
         nuts_cfg=NutsConfig(freeze_rule="mid", max_treedepth=maxdepth),
         sweep_kernel=os.environ.get("BENCH_SWEEP_KERNEL", "0") == "1",
+        # phase attribution stays comparable to the recorded NUTS/BART
+        # split: keep the (auto-on) interweaving kernels out
+        linear_gibbs=False, level_gibbs=False,
     )
 
     def warmup_chunk(state, it0):

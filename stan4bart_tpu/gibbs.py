@@ -130,8 +130,10 @@ class GibbsProgram:
         # (ParametricModel.linear_gibbs_refresh).  Valid
         # Metropolis-within-Gibbs composition; targets the beta <-> b
         # hierarchical ridge a diagonal-metric NUTS traverses slowly.
-        # Requires all-normal/flat gamma/beta priors + centered ranef.
-        linear_gibbs: bool = False,
+        # Requires all-normal/flat gamma/beta priors; either ranef
+        # parameterization (non-centered write-back: z_b = T^{-1} b).
+        # None = auto: ON together with level_gibbs when both eligible.
+        linear_gibbs: bool | None = None,
         # extra exact Gibbs update along the additive-shift subspace
         # {per-tree leaf-level shifts c_t} x {per-ranef-term intercept
         # shifts a_i} (x gamma): the global response level is traded
@@ -142,10 +144,12 @@ class GibbsProgram:
         # posterior restricted to this affine subspace is Gaussian in
         # (c, a), so one (T+m)-dimensional conjugate draw per iteration
         # re-mixes the direction exactly.  A directional-Gibbs kernel:
-        # posterior invariant.  Requires centered ranef + default
-        # offset_type; no reference counterpart (interweaving is
+        # posterior invariant.  Works in either ranef parameterization
+        # (non-centered write-back: z_b += a T^{-1} e_j0); requires the
+        # default offset_type; no reference counterpart (interweaving is
         # impossible across its dbarts/Stan process boundary).
-        level_gibbs: bool = False,
+        # None = auto: ON together with linear_gibbs when both eligible.
+        level_gibbs: bool | None = None,
         keep_trees: bool = False,
         # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
         # estimates (fixef, SATE) and the BART fit track NUTS closely but
@@ -249,26 +253,15 @@ class GibbsProgram:
 
         self.stepsize_init = float(stepsize_init)
         self.sigma_gibbs = bool(sigma_gibbs) and not self.is_binary
-        self.linear_gibbs = False
-        if linear_gibbs:
-            max_d = int(os.environ.get("S4B_LINEAR_GIBBS_MAX_D", "512"))
-            if D > max_d or not pm.enable_linear_gibbs():
-                import warnings
 
-                warnings.warn(
-                    "linear_gibbs requested but the model is ineligible "
-                    "(needs normal/flat gamma+beta priors, centered "
-                    f"ranef, and D <= {max_d}); running without it"
-                )
-            else:
-                self.linear_gibbs = True
-
-        # level_gibbs: static structure — ranef terms with an all-ones
-        # (intercept) column, plus gamma if present.  The shift subspace
-        # needs at least one parametric compensator to be useful.
-        self.level_gibbs = False
-        if level_gibbs and parametric_method == "nuts":
-            terms = []
+        # ---- interweaving-pair resolution (docs/interweaving.md) --------
+        # eligibility of each kernel, computed up front
+        max_d = int(os.environ.get("S4B_LINEAR_GIBBS_MAX_D", "512"))
+        lg_elig = 0 < D <= max_d and pm.enable_linear_gibbs()
+        terms = []
+        if parametric_method == "nuts":
+            # ranef terms with an all-ones (intercept) column — the
+            # parametric compensators of the level-shift subspace
             for ti, ((lhs, gidx), pi) in enumerate(
                 zip(pm.z_structs, pm.cfg.p)
             ):
@@ -277,25 +270,49 @@ class GibbsProgram:
                     if np.allclose(lhs_np[:, j], 1.0):
                         terms.append((ti, j))
                         break
-            eligible = (
-                (pm.cfg.q == 0 or pm.cfg.centered)
-                and offset_type == "default"
-                and (terms or pm.cfg.has_intercept)
-                and (pm.cfg.q == 0 or not terms
-                     or pm.cfg.cov_prior in (0, 1))
+        lvl_elig = (
+            parametric_method == "nuts"
+            and offset_type == "default"
+            and bool(terms or pm.cfg.has_intercept)
+        )
+        # None = auto: the PAIR activates together when both are
+        # eligible — measured: level_gibbs alone lets the unpinned
+        # parametric ridge wander, linear_gibbs alone slows sigma/lp
+        # through the b <-> aux coupling; only the pair is the
+        # 10-500x ESS win (BENCH_NOTES round-2).  Explicit True/False
+        # always honored (True warns when ineligible).
+        if linear_gibbs is None and level_gibbs is None:
+            lg_on = lvl_on = lg_elig and lvl_elig
+        else:
+            lg_on = bool(
+                (linear_gibbs is True and lg_elig)
+                or (linear_gibbs is None and lg_elig
+                    and level_gibbs is True and lvl_elig)
             )
-            if not eligible:
-                import warnings
+            lvl_on = bool(
+                (level_gibbs is True and lvl_elig)
+                or (level_gibbs is None and lvl_elig and lg_on)
+            )
+        if linear_gibbs is True and not lg_elig:
+            import warnings
 
-                warnings.warn(
-                    "level_gibbs requested but the model is ineligible "
-                    "(needs centered ranef with an intercept term or a "
-                    "model intercept, default offset_type); running "
-                    "without it"
-                )
-            else:
-                self.level_gibbs = True
-                self._level_terms = terms
+            warnings.warn(
+                "linear_gibbs requested but the model is ineligible "
+                "(needs normal/flat gamma+beta priors and "
+                f"D <= {max_d}); running without it"
+            )
+        if level_gibbs is True and not lvl_elig:
+            import warnings
+
+            warnings.warn(
+                "level_gibbs requested but the model is ineligible "
+                "(needs a ranef intercept term or a model intercept, "
+                "default offset_type, NUTS); running without it"
+            )
+        self.linear_gibbs = lg_on
+        self.level_gibbs = lvl_on
+        if lvl_on:
+            self._level_terms = terms
 
         # NUTS windowed-adaptation schedule over warmup * skip_stan
         # transitions (interruptable_sampler.hpp:171)
@@ -548,11 +565,17 @@ class GibbsProgram:
         for nc in pm.cfg.p:
             th_offs.append(off)
             off += nc + (nc * (nc - 1)) // 2
+        # per-term T^{-1} (scalar for nc == 1), for the non-centered
+        # write-back z_b += a * T^{-1} e_j0 (the prior quadratic in the
+        # shift is IDENTICAL in either parameterization: |T^{-1} e_j0|^2
+        # = Prec[j0, j0])
+        term_tinv = {}
         for ti, j0 in self._level_terms:
             nc, li = pm.cfg.p[ti], pm.cfg.l[ti]
             tm = th_offs[ti]
             if nc == 1:
                 prec_jj = 1.0 / (th[tm] * th[tm])
+                term_tinv[ti] = 1.0 / th[tm]
                 b_seg = b[pm.b_offsets[ti] : pm.b_offsets[ti] + li]
                 diag.append((li * prec_jj)[None])
                 lin.append((-(prec_jj * jnp.sum(b_seg)))[None])
@@ -571,6 +594,7 @@ class GibbsProgram:
                 Tinv = jax.scipy.linalg.solve_triangular(
                     T, jnp.eye(nc, dtype=self.dtype), lower=True
                 )
+                term_tinv[ti] = Tinv
                 prec = jnp.dot(Tinv.T, Tinv, precision=hi)
                 b_mat = b[pm.b_offsets[ti] : pm.b_offsets[ti] + nc * li
                           ].reshape(li, nc)
@@ -616,11 +640,25 @@ class GibbsProgram:
         # apply: ranef intercepts + gamma into the unconstrained vector
         q = nuts.q
         pos = T_trees
-        b_off0 = pm.layout.slices["b_raw"][0] if pm.cfg.q > 0 else 0
+        if pm.cfg.q > 0:
+            b_off0 = pm.layout.slices[
+                "b_raw" if pm.cfg.centered else "z_b"][0]
+        else:
+            b_off0 = 0
         for ti, j0 in self._level_terms:
             nc, li = pm.cfg.p[ti], pm.cfg.l[ti]
-            idx = b_off0 + pm.b_offsets[ti] + np.arange(li) * nc + j0
-            q = q.at[idx].add(s[pos])
+            if pm.cfg.centered:
+                idx = b_off0 + pm.b_offsets[ti] + np.arange(li) * nc + j0
+                q = q.at[idx].add(s[pos])
+            elif nc == 1:
+                idx = b_off0 + pm.b_offsets[ti] + np.arange(li)
+                q = q.at[idx].add(s[pos] * term_tinv[ti])
+            else:
+                # z_lev += a * T^{-1} e_j0 for every level
+                w = term_tinv[ti][:, j0]
+                idx = (b_off0 + pm.b_offsets[ti]
+                       + np.arange(li * nc))
+                q = q.at[idx].add(jnp.tile(w, li) * s[pos])
             pos += 1
         if include_gamma:
             q = q.at[pm.layout.slices["gamma"][0]].add(s[pos])

@@ -60,12 +60,16 @@ class StanArgs:
     sigma_gibbs: bool = False
     # extra exact conjugate refresh of [gamma|beta|b] from its full
     # conditional per iteration (same posterior; GibbsProgram.linear_gibbs;
-    # needs normal/flat gamma+beta priors and centered_ranef)
-    linear_gibbs: bool = False
+    # needs normal/flat gamma+beta priors; either parameterization).
+    # None = auto: ON when the model is eligible (the baseline sampler
+    # class is effectively unable to mix the beta <-> random-slope and
+    # level directions — measured ESS 2-5 per 24k draws; see
+    # docs/interweaving.md); False opts out explicitly.
+    linear_gibbs: bool | None = None
     # extra conjugate interweave of the additive level between the tree
     # ensemble and the ranef intercepts (same posterior;
-    # GibbsProgram.level_gibbs; needs centered_ranef)
-    level_gibbs: bool = False
+    # GibbsProgram.level_gibbs; either parameterization).  None = auto.
+    level_gibbs: bool | None = None
     # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
     # reformulation; GibbsProgram.gram_lik).  None = auto by D
     gram_lik: bool | None = None

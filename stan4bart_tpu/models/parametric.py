@@ -893,8 +893,6 @@ class ParametricModel:
         if (cfg.has_intercept
                 and cfg.prior_dist_for_intercept not in (0, 1)):
             return False
-        if cfg.q > 0 and not cfg.centered:
-            return False
         if not self.enable_gram():
             return False
         D = self.gram_G.shape[0]
@@ -955,15 +953,20 @@ class ParametricModel:
         g = jnp.dot(rw, self.gram_A, precision=hi)
 
         # prior precision P: fixed head + per-term b blocks from theta_L
-        # (dispersion already folded into theta_L under decov)
+        # (dispersion already folded into theta_L under decov).  In the
+        # non-centered parameterization the b prior is the SAME
+        # MVN(0, T T') after the z_b -> b transform, so P is identical —
+        # only the write-back differs (z_b = T^{-1} b per level).
         D = self.gram_G.shape[0]
         P = jnp.diag(self._lg_prec_head)
         th = tp["theta_L"]
         th_mark = 0
         col = self._lg_b_off
+        term_tinv = []   # per-term T^{-1} (or scalar 1/theta) for write-back
         for nc, li in zip(cfg.p, cfg.l):
             if nc == 1:
                 prec_i = 1.0 / (th[th_mark] * th[th_mark])
+                term_tinv.append(1.0 / th[th_mark])
                 idx = col + np.arange(li)
                 P = P.at[idx, idx].add(prec_i)
                 th_mark += 1
@@ -983,6 +986,7 @@ class ParametricModel:
                 Tinv = jax.scipy.linalg.solve_triangular(
                     T, jnp.eye(nc, dtype=self.dtype), lower=True
                 )
+                term_tinv.append(Tinv)
                 Pi = jnp.dot(Tinv.T, Tinv, precision=hi)
                 Pb = jnp.kron(jnp.eye(li, dtype=self.dtype), Pi)
                 P = P.at[col : col + li * nc,
@@ -1018,8 +1022,31 @@ class ParametricModel:
             pos += cfg.K
         if cfg.q > 0:
             b_new = jax.lax.dynamic_slice_in_dim(v_new, pos, cfg.q)
-            off = self.layout.slices["b_raw"][0]
-            u = jax.lax.dynamic_update_slice_in_dim(u, b_new, off, 0)
+            if cfg.centered:
+                off = self.layout.slices["b_raw"][0]
+                u = jax.lax.dynamic_update_slice_in_dim(u, b_new, off, 0)
+            else:
+                # non-centered: z_b = T^{-1} b per level (b is level-major
+                # with nc coefs per level; see make_b)
+                z_parts = []
+                b_mark = 0
+                for (nc, li), tinv in zip(zip(cfg.p, cfg.l), term_tinv):
+                    if nc == 1:
+                        z_parts.append(
+                            b_new[b_mark : b_mark + li] * tinv
+                        )
+                        b_mark += li
+                    else:
+                        b_mat = b_new[b_mark : b_mark + nc * li
+                                      ].reshape(li, nc)
+                        z_parts.append(
+                            jnp.dot(b_mat, tinv.T, precision=hi)
+                            .reshape(-1)
+                        )
+                        b_mark += nc * li
+                z_new = jnp.concatenate(z_parts)
+                off = self.layout.slices["z_b"][0]
+                u = jax.lax.dynamic_update_slice_in_dim(u, z_new, off, 0)
         return u
 
     def initial_inv_mass(self, scale_y: float, n_obs: int) -> np.ndarray:

@@ -185,11 +185,116 @@ def test_level_gibbs_ineligible_warns():
     df = friedman_dataframe(
         generate_friedman_data(60, ranef=True, causal=False)
     )
+    # non-default offset_type -> ineligible (the shift algebra assumes
+    # the default eta decomposition)
     mf = build_model_frame("y ~ bart(X1 + X2) + X4 + (1 | g.1)", df)
-    pm, _, _ = build_parametric_model(mf, "gaussian", {})  # non-centered
+    pm, _, _ = build_parametric_model(mf, "gaussian", {})
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         prog = GibbsProgram(pm, BartConfig(num_trees=5), mf.y, mf.bart_X,
-                            warmup=2, iterations=2, level_gibbs=True)
+                            warmup=2, iterations=2, level_gibbs=True,
+                            user_offset=np.zeros(60), offset_type="bart")
     assert not prog.level_gibbs
     assert any("level_gibbs" in str(x.message) for x in w)
+
+    # non-centered ranef (the default) IS eligible now
+    prog2 = GibbsProgram(pm, BartConfig(num_trees=5), mf.y, mf.bart_X,
+                         warmup=2, iterations=2, level_gibbs=True)
+    assert prog2.level_gibbs
+
+
+def test_level_update_matches_autodiff_noncentered():
+    """Non-centered parameterization: the shift conditional is identical;
+    the write-back goes through z_b += a T^{-1} e_j0.  Verify the drawn
+    (c, a) distribution against autodiff of the z-space joint."""
+    df = friedman_dataframe(
+        generate_friedman_data(150, ranef=True, causal=True)
+    )
+    mf = build_model_frame(
+        "y ~ bart(X1 + X2) + X4 + z + (1 + X4 | g.1) + (1 | g.2)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", {})
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=7), mf.y, mf.bart_X,
+        warmup=5, iterations=5, level_gibbs=True,
+    )
+    assert prog.level_gibbs
+    state = jax.jit(prog.init_state)(jax.random.PRNGKey(0))
+    for it in range(3):
+        state, _ = jax.jit(lambda s, i: prog.step(s, i, True))(state, it)
+    T = prog.bart_cfg.num_trees
+    nuts, bart_state = state.nuts, state.bart
+    c0, _ = pm.layout.constrain(nuts.q)
+    tp0 = pm.transformed(c0)
+    bart_offset = pm.parametric_mean(c0, tp0)
+    y = jnp.asarray(np.asarray(mf.y))
+    sigma = tp0["aux"]
+    leaf_mask = (bart_state.feature == bart_ops.LEAF)
+    m_terms = prog._level_terms
+    dim = T + len(m_terms)
+
+    # z-space shift directions per term: w_i = T_i^{-1} e_j0
+    th = np.asarray(tp0["theta_L"])
+    Ws = []
+    tm = 0
+    for ti, j0 in m_terms:
+        nc = pm.cfg.p[ti]
+        Tm = np.zeros((nc, nc))
+        # advance tm to this term's offset
+        Tm_off = sum(p + (p * (p - 1)) // 2 for p in pm.cfg.p[:ti])
+        k = Tm_off
+        for ci in range(nc):
+            for ri in range(ci, nc):
+                Tm[ri, ci] = th[k]
+                k += 1
+        Ws.append(np.linalg.solve(Tm, np.eye(nc)[:, j0]))
+
+    def logjoint(s):
+        c_t = s[:T]
+        a = s[T:]
+        lv = bart_state.leaf_value + c_t[:, None] * leaf_mask
+        lp = jnp.sum(
+            jnp.where(leaf_mask,
+                      -0.5 * (lv / bart_state.sigma_mu) ** 2, 0.0)
+        )
+        q = nuts.q
+        z_off = pm.layout.slices["z_b"][0]
+        for k2, (ti, j0) in enumerate(m_terms):
+            nc, li = pm.cfg.p[ti], pm.cfg.l[ti]
+            idx = z_off + pm.b_offsets[ti] + np.arange(li * nc)
+            q = q.at[idx].add(jnp.tile(jnp.asarray(Ws[k2]), li) * a[k2])
+        zb = q[z_off : z_off + pm.cfg.q]
+        lp = lp - 0.5 * jnp.sum(zb * zb)
+        eta = (bart_state.allfit + jnp.sum(c_t) + bart_offset
+               + jnp.sum(a))
+        lp = lp - 0.5 * jnp.sum((y - eta) ** 2) / (sigma * sigma)
+        return lp
+
+    s0 = jnp.zeros(dim)
+    g = np.asarray(jax.grad(logjoint)(s0))
+    H = np.asarray(jax.hessian(logjoint)(s0))
+    Q = -H
+    mean = np.linalg.solve(Q, g)
+    cov = np.linalg.inv(Q)
+
+    def draw(key):
+        n2, b2 = prog._level_gibbs_update(nuts, bart_state, bart_offset,
+                                          state.latents, key)
+        c_rec = jnp.sum(
+            (b2.leaf_value - bart_state.leaf_value) * leaf_mask, axis=1
+        ) / jnp.sum(leaf_mask, axis=1)
+        a_rec = []
+        z_off = pm.layout.slices["z_b"][0]
+        for k2, (ti, j0) in enumerate(m_terms):
+            idx = z_off + pm.b_offsets[ti]
+            # recover a from the first z coordinate shift: dz = a * w[0]
+            a_rec.append((n2.q[idx] - nuts.q[idx]) / Ws[k2][0])
+        return jnp.concatenate([c_rec, jnp.stack(a_rec)])
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 6000)
+    ss = np.asarray(jax.jit(jax.vmap(draw))(keys))
+    se = np.sqrt(np.diag(cov) / len(ss))
+    assert np.all(np.abs(ss.mean(axis=0) - mean) < 5 * se + 1e-8)
+    emp = np.cov(ss.T)
+    scale = np.sqrt(np.outer(np.diag(cov), np.diag(cov)))
+    assert np.max(np.abs(emp - cov) / (scale + 1e-12)) < 0.12

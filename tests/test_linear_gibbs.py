@@ -29,20 +29,35 @@ def df():
     )
 
 
-def _centered_model(df, weights=False):
+def _centered_model(df, weights=False, centered=True):
     mf = build_model_frame(
         "y ~ bart(X1 + X2) + X4 + z + (1 + X4 | g.1) + (1 | g.2)", df,
         weights=np.linspace(0.5, 2.0, len(np.asarray(df["y"])))
         if weights else None,
     )
     pm, _, _ = build_parametric_model(mf, "gaussian",
-                                      {"centered_ranef": True})
+                                      {"centered_ranef": centered})
     return mf, pm
 
 
-def _u_from_v(pm, u0, v):
+def _unpack_T_blocks(pm, theta_L):
+    """Per-term lower-triangular T_i from the theta_L vech."""
+    blocks = []
+    tm = 0
+    for nc in pm.cfg.p:
+        T = np.zeros((nc, nc))
+        for ci in range(nc):
+            for ri in range(ci, nc):
+                T[ri, ci] = theta_L[tm]
+                tm += 1
+        blocks.append(T)
+    return blocks
+
+
+def _u_from_v(pm, u0, v, T_blocks=None):
     """Write a v = [gamma|beta|b] vector into the unconstrained layout
-    (same affine map as linear_gibbs_refresh's write-back)."""
+    (same affine map as linear_gibbs_refresh's write-back; non-centered
+    uses z_b = T^{-1} b per level)."""
     cfg = pm.cfg
     u = u0
     pos = 0
@@ -56,16 +71,30 @@ def _u_from_v(pm, u0, v):
         u = jax.lax.dynamic_update_slice_in_dim(u, zb, off, 0)
         pos += cfg.K
     if cfg.q > 0:
-        off = pm.layout.slices["b_raw"][0]
-        u = jax.lax.dynamic_update_slice_in_dim(
-            u, v[pos : pos + cfg.q], off, 0
-        )
+        b = v[pos : pos + cfg.q]
+        if cfg.centered:
+            off = pm.layout.slices["b_raw"][0]
+            u = jax.lax.dynamic_update_slice_in_dim(u, b, off, 0)
+        else:
+            z_parts = []
+            mark = 0
+            for (nc, li), T in zip(zip(cfg.p, cfg.l), T_blocks):
+                Tinv = jnp.asarray(np.linalg.inv(T))
+                seg = b[mark : mark + nc * li].reshape(li, nc)
+                z_parts.append(jnp.dot(seg, Tinv.T).reshape(-1))
+                mark += nc * li
+            off = pm.layout.slices["z_b"][0]
+            u = jax.lax.dynamic_update_slice_in_dim(
+                u, jnp.concatenate(z_parts), off, 0
+            )
     return u
 
 
-@pytest.mark.parametrize("weights", [False, True])
-def test_refresh_matches_autodiff_conditional(df, weights):
-    mf, pm = _centered_model(df, weights=weights)
+@pytest.mark.parametrize("weights,centered", [
+    (False, True), (True, True), (False, False),
+])
+def test_refresh_matches_autodiff_conditional(df, weights, centered):
+    mf, pm = _centered_model(df, weights=weights, centered=centered)
     assert pm.enable_linear_gibbs()
 
     rng = np.random.default_rng(7)
@@ -79,9 +108,10 @@ def test_refresh_matches_autodiff_conditional(df, weights):
     c, _ = pm.layout.constrain(u0)
     tp = pm.transformed(c)
     v0 = np.asarray(pm._coef_vector(c, tp))
+    T_blocks = _unpack_T_blocks(pm, np.asarray(tp["theta_L"]))
 
     def f(v):
-        return pm.log_prob(_u_from_v(pm, u0, v), offset, y)
+        return pm.log_prob(_u_from_v(pm, u0, v, T_blocks), offset, y)
 
     g = np.asarray(jax.grad(f)(jnp.asarray(v0)))
     H = np.asarray(jax.hessian(f)(jnp.asarray(v0)))
@@ -112,29 +142,30 @@ def test_ineligible_configs_fall_back():
     import warnings
 
     from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models import priors
     from stan4bart_tpu.ops.bart import BartConfig
 
     df = friedman_dataframe(
         generate_friedman_data(60, ranef=True, causal=False)
     )
-    # non-centered ranef -> ineligible
     mf = build_model_frame("y ~ bart(X1 + X2) + X4 + (1 | g.1)", df)
+    # non-centered ranef (the default) IS eligible: the write-back goes
+    # through z_b = T^{-1} b
     pm, _, _ = build_parametric_model(mf, "gaussian", {})
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        prog = GibbsProgram(pm, BartConfig(num_trees=5), mf.y, mf.bart_X,
-                            warmup=2, iterations=2, linear_gibbs=True)
-    assert not prog.linear_gibbs
-    assert any("linear_gibbs" in str(x.message) for x in w)
+    assert pm.enable_linear_gibbs()
 
-    # hs prior -> ineligible
-    from stan4bart_tpu.models import priors
-
+    # hs prior -> ineligible, warns at program build
     pm2, _, _ = build_parametric_model(
         mf, "gaussian",
         {"prior": priors.hs(), "centered_ranef": True},
     )
     assert not pm2.enable_linear_gibbs()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prog = GibbsProgram(pm2, BartConfig(num_trees=5), mf.y, mf.bart_X,
+                            warmup=2, iterations=2, linear_gibbs=True)
+    assert not prog.linear_gibbs
+    assert any("linear_gibbs" in str(x.message) for x in w)
 
 
 def test_e2e_qr_with_kernels(df):
