@@ -65,9 +65,20 @@ sel = os.environ.get("EXP_CONFIGS")
 if sel:
     configs = {k: v for k, v in configs.items() if k in sel.split(",")}
 
+# EXP_REGROW: p_regrow for the subtree-regrow tree kernel (ops/bart.
+# _subtree_regrow) — targets the lp/sigma ESS floor carried by the tree
+# ensemble's structure relaxation.  Forces the XLA sweep path.
+P_REGROW = float(os.environ.get("EXP_REGROW", "0"))
+# EXP_RPS: random-scan single-tree regrow refreshes per sweep (the cheap
+# production shape); EXP_SEED: chain-key seed for replication
+RPS = int(os.environ.get("EXP_RPS", "0"))
+SEED = int(os.environ.get("EXP_SEED", "42"))
+
 for label, kw in configs.items():
     prog = GibbsProgram(
-        pm, BartConfig(num_trees=TREES), mf.y, mf.bart_X,
+        pm, BartConfig(num_trees=TREES, p_regrow=P_REGROW,
+                       regrow_per_sweep=RPS),
+        mf.y, mf.bart_X,
         warmup=WARMUP, iterations=DRAWS,
         nuts_cfg=NutsConfig(freeze_rule="mid", max_treedepth=6),
         **kw,
@@ -98,7 +109,7 @@ for label, kw in configs.items():
         _, stan = jax.lax.scan(sbody, state, jnp.arange(DRAWS))
         return stan  # (DRAWS, P)
 
-    keys = jax.random.split(jax.random.PRNGKey(42), CHAINS)
+    keys = jax.random.split(jax.random.PRNGKey(SEED), CHAINS)
     t0 = time.time()
     stan = jax.jit(jax.vmap(chain, axis_name="chains"))(keys)
     stan = np.asarray(jax.block_until_ready(stan))  # (C, DRAWS, P)

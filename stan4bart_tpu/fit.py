@@ -107,6 +107,14 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     split_probs = pop("split.probs", "split_probs")
     k = pop("k")
     keep_trees = bool(pop("keepTrees", "keep_trees", default=False))
+    # beyond-reference subtree-regrow tree kernel (ops/bart.
+    # _subtree_regrow): probability of attempting one regrow MH step per
+    # tree update; 0 = reference-parity move set.  XLA sweep path only —
+    # a nonzero value disables the fused sweep kernel.
+    p_regrow = float(pop("p_regrow", default=0.0))
+    # cheap shape of the same kernel: N random single-tree regrow +
+    # leaf-redraw updates appended per sweep (~1 tree-move cost each)
+    regrow_per_sweep = int(pop("regrow_per_sweep", default=0))
     # None = auto: on when running on real TPU hardware and the model is
     # eligible (f32, unweighted, max_depth <= 6); see stan4bart() below
     sweep_kernel = pop("sweep_kernel", default=None)
@@ -134,7 +142,15 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
         power=power, base=base,
         node_scale=3.0 if is_binary else 0.5,
         k_init=k_init, k_df=k_df, k_scale=k_scale,
+        p_regrow=p_regrow, regrow_per_sweep=regrow_per_sweep,
     )
+    if p_regrow > 0 or regrow_per_sweep > 0:
+        if sweep_kernel:
+            warnings.warn(
+                "the regrow kernels force the XLA sweep path "
+                "(the fused sweep kernel does not implement regrow yet)"
+            )
+        sweep_kernel = False
     return cfg, split_probs, keep_trees, sweep_kernel
 
 

@@ -240,6 +240,12 @@ class GibbsProgram:
                 )
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError("sweep_kernel requires dtype=float32")
+            if bart_cfg.p_regrow > 0 or bart_cfg.regrow_per_sweep > 0:
+                raise ValueError(
+                    "sweep_kernel does not implement the subtree-regrow "
+                    "kernels (p_regrow / regrow_per_sweep) — use the "
+                    "XLA sweep"
+                )
             from .ops.bart_sweep_kernel import make_sweep_consts
 
             self.sweep_consts = make_sweep_consts(

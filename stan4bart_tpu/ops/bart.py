@@ -60,6 +60,16 @@ class BartConfig(NamedTuple):
     # bart_args k = chi(df, scale) like the reference (stan4bart.R:202-210).
     k_df: float = 0.0
     k_scale: float = float("inf")
+    # probability of attempting a subtree-regrow MH move per tree update
+    # (beyond-reference tree-structure kernel, _subtree_regrow; 0 = off =
+    # reference-parity move set).  XLA sweep path only for now.
+    p_regrow: float = 0.0
+    # cheap production shape of the same kernel: this many random
+    # single-tree regrow + leaf-redraw updates appended per sweep
+    # (random-scan composition; ~1 tree-move cost each instead of the
+    # ~3x per-tree overhead of p_regrow).  0 = off.
+    regrow_per_sweep: int = 0
+
     @property
     def max_nodes(self) -> int:
         return 2 ** (self.max_depth + 1) - 1
@@ -424,6 +434,102 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
             pick(new_leaf_idx, leaf_idx))
 
 
+def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
+                    rng, depths, p_split, dtype, count_weights=None):
+    """Subtree-regrow MH move (beyond-reference kernel; opt-in via
+    ``cfg.p_regrow``): pick an active node eta uniformly, propose
+    replacing the whole subtree rooted at eta with a fresh draw from the
+    CGM structure prior (at eta's absolute depth), and accept with
+
+        min(1, m(T') / m(T) * n_active(T) / n_active(T'))
+
+    where m() is the integrated likelihood restricted to eta's subtree
+    (everything outside it is identical and cancels).  The proposal
+    density below eta IS the structure prior, so the prior terms cancel
+    exactly — this is the independence-proposal analog of grow/prune/
+    change that can teleport a whole subtree in one step, targeting the
+    tree-structure relaxation timescale that carries the lp/sigma ESS
+    floor (BENCH_NOTES).  Proposals with an empty active leaf are
+    rejected (the same support convention as the grow move, matching
+    dbarts' non-empty-leaf invariant).  Exactness is pinned against a
+    brute-force enumerated posterior in tests/test_regrow.py.
+    """
+    feature, cut, leaf_idx = tree
+    M = cfg.max_nodes
+    node_ids = jnp.arange(M, dtype=jnp.int32)
+    parent_ids = jnp.maximum((node_ids - 1) // 2, 0)
+
+    rng_g, rng_u = jax.random.split(rng)
+    g = jax.random.uniform(rng_g, (3,), dtype=dtype)
+    u3 = jax.random.uniform(rng_u, (3, M), dtype=dtype)
+    u_gate, u_sel, u_acc = g[0], g[1], g[2]
+
+    active = feature != INACTIVE
+    n_act = jnp.sum(active.astype(jnp.int32))
+    eta = _pick_marked(active, n_act, u_sel)
+
+    # heap mask of eta's subtree (eta included): walk each node's
+    # ancestor chain up max_depth+1 steps
+    anc = node_ids
+    in_sub = jnp.zeros(M, dtype=bool)
+    for _ in range(cfg.max_depth + 1):
+        in_sub = in_sub | (anc == eta)
+        anc = jnp.maximum((anc - 1) // 2, 0)
+
+    # prior draw over the subtree: split decisions at ABSOLUTE depth
+    # (the CGM prior is depth-from-root), activity propagated down from
+    # eta only.  p_split is 0 at max_depth, so bottom slots stay leaves.
+    want_split = u3[0] < p_split[depths]
+    v_prop = jnp.minimum(
+        jnp.searchsorted(jnp.cumsum(split_probs), u3[1], side="right")
+        .astype(jnp.int32),
+        split_probs.shape[0] - 1,
+    )
+    c_prop = jnp.minimum((u3[2] * cfg.n_cuts).astype(jnp.int32),
+                         cfg.n_cuts - 1)
+    act_new = jnp.zeros(M, dtype=bool).at[eta].set(True)
+    for _ in range(cfg.max_depth):
+        from_parent = (act_new[parent_ids] & want_split[parent_ids]
+                       & (node_ids != 0))
+        act_new = act_new | from_parent
+    feat_prop = jnp.where(
+        act_new & want_split, v_prop,
+        jnp.where(act_new, LEAF, INACTIVE),
+    ).astype(feature.dtype)
+    cut_prop = jnp.where(feat_prop >= 0, c_prop, 0).astype(cut.dtype)
+
+    new_feature = jnp.where(in_sub, feat_prop, feature)
+    new_cut = jnp.where(in_sub, cut_prop, cut)
+    new_leaf_idx = walk_tree(new_feature, new_cut, ranks, cfg.max_depth)
+
+    counts_old, sums_old = leaf_stats(leaf_idx, resid, M,
+                                      count_weights=count_weights)
+    counts_new, sums_new = leaf_stats(new_leaf_idx, resid, M,
+                                      count_weights=count_weights)
+    leaf_old = (feature == LEAF) & in_sub
+    leaf_new = (new_feature == LEAF) & in_sub
+    m_old = jnp.sum(jnp.where(
+        leaf_old,
+        _leaf_marginal_terms(counts_old, sums_old, sigma2, tau2, dtype),
+        0.0))
+    m_new = jnp.sum(jnp.where(
+        leaf_new,
+        _leaf_marginal_terms(counts_new, sums_new, sigma2, tau2, dtype),
+        0.0))
+    n_act_new = jnp.sum((new_feature != INACTIVE).astype(jnp.int32))
+
+    log_accept = (m_new - m_old
+                  + jnp.log(n_act.astype(dtype))
+                  - jnp.log(n_act_new.astype(dtype)))
+    valid = ~jnp.any(leaf_new & (counts_new <= 0))
+    accept = ((u_gate < cfg.p_regrow) & valid
+              & (jnp.log(u_acc) < log_accept))
+
+    pick = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
+    return (pick(new_feature, feature), pick(new_cut, cut),
+            pick(new_leaf_idx, leaf_idx))
+
+
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
                split_probs, sigma, rng, weights=None, variates=None):
     """One full Gibbs sweep over all trees (the reference's
@@ -442,6 +548,13 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     (ops/bart_sweep_kernel.py), used to verify the two paths sample the
     same forests.
     """
+    if (cfg.p_regrow > 0 or cfg.regrow_per_sweep > 0) \
+            and variates is not None:
+        raise ValueError(
+            "the regrow kernels are not supported on the "
+            "pre-drawn-variates path (fused sweep kernel) yet — use the "
+            "XLA sweep"
+        )
     dtype = state.allfit.dtype
     sigma2 = (sigma * sigma).astype(dtype)
     tau2 = (state.sigma_mu * state.sigma_mu).astype(dtype)
@@ -457,7 +570,11 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         if variates is None:
             feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j = inputs
             u6_j = zn_j = None
-            rng, rng_move, rng_mu = jax.random.split(rng, 3)
+            if cfg.p_regrow > 0:
+                rng, rng_move, rng_regrow, rng_mu = (
+                    jax.random.split(rng, 4))
+            else:
+                rng, rng_move, rng_mu = jax.random.split(rng, 3)
         else:
             (feature_j, cut_j, leaf_value_j, leaf_idx_j, fit_j,
              u6_j, zn_j) = inputs
@@ -474,6 +591,14 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
             split_probs, sigma2, tau2, rng_move, depths, p_split, dtype,
             count_weights=w, u6=u6_j,
         )
+        if cfg.p_regrow > 0 and variates is None:
+            # composed second MH kernel per tree update (valid
+            # Metropolis-within-Gibbs composition)
+            feature_j, cut_j, leaf_idx_j = _subtree_regrow(
+                cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
+                split_probs, sigma2, tau2, rng_regrow, depths, p_split,
+                dtype, count_weights=w,
+            )
 
         # conjugate leaf-mean draws for all leaves of this tree.
         # NOTE: a Pallas VMEM-only kernel pair for these two one-hot
@@ -506,6 +631,67 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     (allfit, rng), (feature, cut, leaf_value, leaf_idx, tree_fit) = (
         jax.lax.scan(per_tree, (state.allfit, rng), scan_xs)
     )
+
+    if cfg.regrow_per_sweep > 0 and variates is None:
+        # random-scan subtree-regrow refreshes: pick a tree uniformly,
+        # attempt ONE whole-subtree regrow (exact MH, _subtree_regrow),
+        # then redraw its leaves from the conjugate conditional.  ~1
+        # extra tree-update cost per refresh — the cheap production
+        # shape of the regrow kernel (the per-tree p_regrow form costs
+        # ~3x the whole sweep), against its measured ~10x faster
+        # structure mixing in isolation (tests/test_regrow.py,
+        # BENCH_NOTES round-2 regrow experiment).
+        cfg_on = cfg._replace(p_regrow=1.0)
+        hi = jax.lax.Precision.HIGHEST
+        t_ids = jnp.arange(cfg.num_trees, dtype=jnp.int32)
+
+        def one_regrow(carry, key):
+            feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
+            kj, kmv, kmu = jax.random.split(key, 3)
+            j = jax.random.randint(kj, (), 0, cfg.num_trees)
+            # row extraction as one-hot matmuls (gathers serialize on
+            # TPU; all values are small ints, exact in f32)
+            oh_j = (t_ids == j).astype(dtype)
+            f_j = jnp.dot(oh_j, feature.astype(dtype),
+                          precision=hi).astype(feature.dtype)
+            c_j = jnp.dot(oh_j, cut.astype(dtype),
+                          precision=hi).astype(cut.dtype)
+            li_j = jnp.dot(oh_j, leaf_idx.astype(dtype),
+                           precision=hi).astype(leaf_idx.dtype)
+            fit_j = jnp.dot(oh_j, tree_fit, precision=hi)
+            resid = y_target - allfit + fit_j
+            wres = resid if w is None else w * resid
+            f2, c2, li2 = _subtree_regrow(
+                cfg_on, (f_j, c_j, li_j), wres, ranks, split_probs,
+                sigma2, tau2, kmv, depths, p_split, dtype,
+                count_weights=w,
+            )
+            onehot_new = node_onehot(li2, M, dtype)
+            counts, sums = leaf_stats(li2, wres, M, count_weights=w,
+                                      onehot=onehot_new)
+            post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
+            post_mean = post_var * sums / sigma2
+            mu = post_mean + jnp.sqrt(post_var) * jax.random.normal(
+                kmu, (M,), dtype)
+            lv2 = jnp.where(f2 == LEAF, mu, 0.0)
+            new_fit = table_lookup(onehot_new, lv2)
+            sel = (t_ids == j)[:, None]
+            carry = (
+                jnp.where(sel, f2[None, :], feature),
+                jnp.where(sel, c2[None, :], cut),
+                jnp.where(sel, lv2[None, :], leaf_value),
+                jnp.where(sel, li2[None, :], leaf_idx),
+                jnp.where(sel, new_fit[None, :], tree_fit),
+                allfit + new_fit - fit_j,
+            )
+            return carry, None
+
+        rng, rng_rg = jax.random.split(rng)
+        carry = (feature, cut, leaf_value, leaf_idx, tree_fit, allfit)
+        carry, _ = jax.lax.scan(
+            one_regrow, carry,
+            jax.random.split(rng_rg, cfg.regrow_per_sweep))
+        feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
 
     # optional chi(df, scale) hyperprior draw for k (dbarts normal-prior
     # hyperprior; SURVEY.md section 2.4)
