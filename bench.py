@@ -58,14 +58,16 @@ MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "6"))
 # NUTS drift; BENCH_SIGMA_GIBBS=1 for A/B runs)
 SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
 # exact conjugate refresh of [gamma|beta|b] + additive-level interweave
-# (GibbsProgram.linear_gibbs / level_gibbs).  CPU-measured at n=2000:
-# the pair lifted watchlist ESS/draw 10-500x (beta 11->1042, b 2->1014,
-# theta_L 3->986, sigma 19->49 per 4800 draws) at ~13% LOWER wall cost;
-# either alone is much weaker (lvl alone lets the beta<->slope ridge
-# wander; lg alone leaves the level random walk).  BENCH_LG/BENCH_LVL
-# for chip A/B.
-LINEAR_GIBBS = os.environ.get("BENCH_LG", "0") == "1"
-LEVEL_GIBBS = os.environ.get("BENCH_LVL", "0") == "1"
+# (GibbsProgram.linear_gibbs / level_gibbs) — the package's auto-on
+# production default for eligible models.  Chip A/B at this headline
+# config (256 chains, 300-draw window): min-ESS/s 7.74 (beta) -> 13.77
+# (lp) with the old floor coordinates transformed (ESS/s beta 7.7->227,
+# b 9->202, theta_L ->71.7, sigma 36.7->62.1) for -9% draws/s
+# (4625->4219); either kernel alone is much weaker (lvl alone lets the
+# beta<->slope ridge wander; lg alone leaves the level random walk).
+# BENCH_LG=0/BENCH_LVL=0 for baseline A/Bs.
+LINEAR_GIBBS = os.environ.get("BENCH_LG", "1") == "1"
+LEVEL_GIBBS = os.environ.get("BENCH_LVL", "1") == "1"
 # cross-chain pooled NUTS adaptation over the 64-chain axis:
 # BENCH_POOLED=1/metric (window-end metric only), stepsize, or both.
 # Accept-signal pooling measured harmful (NutsConfig.pooled_parts note).
@@ -282,6 +284,9 @@ def main():
         "value": round(draws_per_s, 3),
         "unit": "draws/s",
         "vs_baseline": round(draws_per_s / denom, 3),
+        # BASELINE.json's other north-star metric, over the watchlist
+        "min_ess_per_s": round(ess_by[min_name] / elapsed, 3),
+        "min_ess_coord": min_name,
     }))
 
 
