@@ -68,6 +68,11 @@ SIGMA_GIBBS = os.environ.get("BENCH_SIGMA_GIBBS", "0") == "1"
 # BENCH_LG=0/BENCH_LVL=0 for baseline A/Bs.
 LINEAR_GIBBS = os.environ.get("BENCH_LG", "1") == "1"
 LEVEL_GIBBS = os.environ.get("BENCH_LVL", "1") == "1"
+# ensemble-wide conjugate leaf refresh rounds (GibbsProgram.leaf_gibbs):
+# random Walsh-direction rank-T conjugate draws over per-tree leaf-value
+# shifts, targeting the lp/sigma ESS floor (the ensemble fit-error
+# relaxation).  BENCH_LEAF=N for N rounds/iteration; 0 = off.
+LEAF_GIBBS = int(os.environ.get("BENCH_LEAF", "0"))
 # cross-chain pooled NUTS adaptation over the 64-chain axis:
 # BENCH_POOLED=1/metric (window-end metric only), stepsize, or both.
 # Accept-signal pooling measured harmful (NutsConfig.pooled_parts note).
@@ -153,6 +158,7 @@ def main():
         sigma_gibbs=SIGMA_GIBBS,
         linear_gibbs=LINEAR_GIBBS,
         level_gibbs=LEVEL_GIBBS,
+        leaf_gibbs=LEAF_GIBBS,
         sweep_kernel=SWEEP_KERNEL,
         gram_lik=GRAM,
     )
@@ -287,6 +293,18 @@ def main():
         # BASELINE.json's other north-star metric, over the watchlist
         "min_ess_per_s": round(ess_by[min_name] / elapsed, 3),
         "min_ess_coord": min_name,
+        # active kernel/config flags so recorded results are
+        # self-describing (historical A/Bs were recorded under different
+        # defaults; cross-config comparisons need these)
+        "config": {
+            "chains": CHAINS, "warmup": WARMUP, "maxdepth": MAXDEPTH,
+            "freeze": FREEZE, "linear_gibbs": LINEAR_GIBBS,
+            "level_gibbs": LEVEL_GIBBS, "leaf_gibbs": LEAF_GIBBS,
+            "sigma_gibbs": SIGMA_GIBBS, "sweep_kernel": SWEEP_KERNEL,
+            "gram_lik": GRAM, "chain_block": CHAIN_BLOCK,
+            "skip_stan": SKIP_STAN, "skip_bart": SKIP_BART,
+            "pooled": POOLED, "chunk": CHUNK, "n_chunks": N_CHUNKS,
+        },
     }))
 
 

@@ -60,6 +60,15 @@ configs = {
     "lg+lvl": dict(linear_gibbs=True, level_gibbs=True),
     "lg+sg+lvl": dict(linear_gibbs=True, sigma_gibbs=True,
                       level_gibbs=True),
+    # ensemble-wide conjugate leaf refresh (GibbsProgram.leaf_gibbs):
+    # N Walsh-direction rank-T draws per iteration on top of the pair
+    "leaf1": dict(linear_gibbs=False, level_gibbs=False, leaf_gibbs=1),
+    "lg+lvl+leaf1": dict(linear_gibbs=True, level_gibbs=True,
+                         leaf_gibbs=1),
+    "lg+lvl+leaf2": dict(linear_gibbs=True, level_gibbs=True,
+                         leaf_gibbs=2),
+    "lg+lvl+leaf4": dict(linear_gibbs=True, level_gibbs=True,
+                         leaf_gibbs=4),
 }
 sel = os.environ.get("EXP_CONFIGS")
 if sel:

@@ -333,6 +333,24 @@ def stan4bart(
         test_frame = mf.build_test_frame(cols)
     elif test is not None:
         test_frame = mf.build_test_frame(test)
+    if test_frame is not None and offset is not None:
+        # carry the array-valued user offset= to the test frame so
+        # ev/ppd on sample="test" (and the treatment counterfactual) stay
+        # consistent with train (the reference's test-offset machinery,
+        # stan4bart.R:104-120; testUsesRegularOffset,
+        # stan4bart_fit.R:436-451).  offset_test below still REPLACES it.
+        uo = np.asarray(offset, dtype=np.float64)
+        if len(uo) == test_frame.n_original:
+            extra = uo[np.asarray(test_frame.complete_rows)]
+            test_frame.offset = (
+                extra if test_frame.offset is None
+                else test_frame.offset + extra
+            )
+        else:
+            warnings.warn(
+                "user 'offset' vector length does not match the test "
+                "frame; the test predictions will omit it"
+            )
     if test_frame is not None and offset_test is not None:
         # the reference's offset_test formal REPLACES the test offset
         # (stan4bart.R:108: result$test$offset <- offset_test)
@@ -423,6 +441,7 @@ def stan4bart(
         sigma_gibbs=resolved_stan_args.sigma_gibbs,
         linear_gibbs=resolved_stan_args.linear_gibbs,
         level_gibbs=resolved_stan_args.level_gibbs,
+        leaf_gibbs=resolved_stan_args.leaf_gibbs,
         gram_lik=resolved_stan_args.gram_lik,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",

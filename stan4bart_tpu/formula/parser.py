@@ -13,8 +13,11 @@ The right-hand side is split into three additive components:
 * ordinary fixed-effect terms (with ``:`` / ``*`` interactions, ``.``
   expansion, ``-`` removals, ``0``/``1`` intercept markers);
 * lme4 random-effect terms ``(expr | group)`` with ``:``-nested grouping
-  factors and ``||`` treated as correlated (like the reference, which does not
-  split double-bar terms).
+  factors; double-bar terms ``(expr || group)`` are split into independent
+  (uncorrelated) terms exactly as the reference does — ``(1 + x || g)``
+  becomes ``(1 | g) + (0 + x | g)`` (``expandDoubleVert``,
+  lme4_functions.R:555-566, invoked via ``findbars``'s
+  ``expand_doublevert_method = "split"``, :731-736).
 """
 
 from __future__ import annotations
@@ -185,8 +188,9 @@ def parse_formula(
         ):
             inner = term[1:-1]
             bar = _find_top_level(inner, "|")
-            lhs_expr = inner[:bar].rstrip("|").strip()  # tolerate '||'
-            group = inner[bar:].lstrip("|").strip()
+            double_bar = bar + 1 < len(inner) and inner[bar + 1] == "|"
+            lhs_expr = inner[:bar].strip()
+            group = inner[bar + (2 if double_bar else 1):].strip()
             lhs_terms, lhs_int = expand_terms(
                 _split_top_level(lhs_expr), columns, set()
             )
@@ -194,10 +198,23 @@ def parse_formula(
             # (expr|g1) + (expr|g1:g2) (lme4 findbars '/' semantics,
             # lme4_functions.R:664-736)
             for g in _expand_nested_group(group):
-                random_terms.append(
-                    RandomTerm(lhs_terms=lhs_terms, lhs_intercept=lhs_int,
-                               group=g, raw=term)
-                )
+                if double_bar:
+                    # uncorrelated random effects: split into independent
+                    # terms, intercept first, each slope without intercept
+                    # (expandDoubleVert, lme4_functions.R:555-566)
+                    if lhs_int:
+                        random_terms.append(RandomTerm(
+                            lhs_terms=[], lhs_intercept=True, group=g,
+                            raw=term))
+                    for t in lhs_terms:
+                        random_terms.append(RandomTerm(
+                            lhs_terms=[t], lhs_intercept=False, group=g,
+                            raw=term))
+                else:
+                    random_terms.append(
+                        RandomTerm(lhs_terms=lhs_terms,
+                                   lhs_intercept=lhs_int, group=g, raw=term)
+                    )
         elif term.startswith("offset(") and term.endswith(")"):
             offset_terms.append(term[len("offset(") : -1].strip())
         else:

@@ -150,6 +150,23 @@ class GibbsProgram:
         # impossible across its dbarts/Stan process boundary).
         # None = auto: ON together with linear_gibbs when both eligible.
         level_gibbs: bool | None = None,
+        # ensemble-wide conjugate leaf-block refresh (beyond reference):
+        # N exact conjugate draws per iteration along random rank-T
+        # Walsh-direction subspaces of the JOINT leaf-value space.  Given
+        # all tree structures the leaf values of all trees are jointly
+        # Gaussian (f is linear in leaves); the full M-dim blocked draw is
+        # too large per iteration, but an exact directional-Gibbs draw
+        # along {shift tree t's leaves by c_t * d_t} with random signs
+        # d_t[leaf] = Walsh(leaf_index, random mask) mixes the CROSS-TREE
+        # directions the per-tree backfitting conditions away — the
+        # ensemble fit-error relaxation that carries the lp/sigma ESS
+        # floor (BENCH_NOTES round-2: regrow proved structure isn't the
+        # bottleneck; dbarts' per-node conjugate posterior, SURVEY.md
+        # section 2.4, applied jointly).  Directions are computed
+        # ELEMENTWISE from leaf_idx (bit-parity of node & mask: no
+        # gathers), and the T x T Gram V V' of the +-1 direction columns
+        # is exact at default MXU precision.  0 = off.
+        leaf_gibbs: int = 0,
         keep_trees: bool = False,
         # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
         # estimates (fixef, SATE) and the BART fit track NUTS closely but
@@ -319,6 +336,7 @@ class GibbsProgram:
         self.level_gibbs = lvl_on
         if lvl_on:
             self._level_terms = terms
+        self.leaf_gibbs = int(leaf_gibbs)
 
         # NUTS windowed-adaptation schedule over warmup * skip_stan
         # transitions (interruptable_sampler.hpp:171)
@@ -523,6 +541,83 @@ class GibbsProgram:
         )
         x_new = jnp.where(done, x_new, x0)
         return q.at[off].set(x_new)
+
+    @staticmethod
+    def _walsh_signs(x, mask, dtype):
+        """d = +-1 from the bit-parity of ``popcount(x & mask)`` — the
+        Walsh-Hadamard sign pattern indexed by ``mask``, computed
+        ELEMENTWISE (no table lookups / gathers; pure VPU int ops)."""
+        v = x & mask
+        v = v ^ (v >> 16)
+        v = v ^ (v >> 8)
+        v = v ^ (v >> 4)
+        v = v ^ (v >> 2)
+        v = v ^ (v >> 1)
+        return (1 - 2 * (v & 1)).astype(dtype)
+
+    def _leaf_gibbs_update(self, bart_state, bart_offset, latents, sigma,
+                           rng, masks=None):
+        """One exact conjugate draw of per-tree leaf shifts along random
+        Walsh directions:
+
+            leaf_value[t, leaf] += c_t * d_t[leaf],
+            d_t[node] = Walsh(node, m_t),  m_t ~ U{1..2^ceil(log2 M) - 1}
+
+        Restricted to this rank-T affine subspace the conditional over
+        c = (c_1..c_T) is Gaussian: likelihood precision V V'/sigma^2 with
+        V[t] = d_t[leaf_idx[t]] (a +-1 matrix, so the Gram is exact at
+        default MXU precision), leaf-prior precision diag(L_t)/sigma_mu^2
+        (|d|^2 = leaf count) with linear term -d'mu_t/sigma_mu^2.  The
+        direction masks depend only on (structures, rng) — a valid
+        random-scan directional-Gibbs kernel; posterior invariant.  The
+        per-tree backfitting inside the sweep already refreshes each
+        tree's leaves exactly given the others; this draw moves the
+        cross-tree correlated directions it cannot."""
+        cfg = self.bart_cfg
+        hi = jax.lax.Precision.HIGHEST
+        dtype = self.dtype
+        T, M = cfg.num_trees, cfg.max_nodes
+        y_stan = latents if self.is_binary else self.y
+        r = y_stan - bart_state.allfit - bart_offset
+        inv_s2 = 1.0 / (sigma * sigma)
+        inv_smu2 = 1.0 / (bart_state.sigma_mu * bart_state.sigma_mu)
+
+        rng_m, rng_z = jax.random.split(rng)
+        nbits = max(int(M).bit_length(), 1)
+        # masks: optional fixed direction masks (exactness tests condition
+        # the draw distribution on a fixed subspace)
+        m = (jnp.asarray(masks, dtype=jnp.int32) if masks is not None
+             else jax.random.randint(rng_m, (T,), 1, 2**nbits,
+                                     dtype=jnp.int32))
+        node_ids = jnp.arange(M, dtype=jnp.int32)
+        leaf_mask = (bart_state.feature == bart_ops.LEAF)
+        d_leaf = jnp.where(
+            leaf_mask, self._walsh_signs(node_ids[None, :], m[:, None],
+                                         dtype), 0.0)
+        V = self._walsh_signs(bart_state.leaf_idx, m[:, None], dtype)
+
+        if self.weights is not None:
+            G = jnp.dot(V * self.weights[None, :], V.T, precision=hi)
+            h_lik = jnp.dot(V, self.weights * r, precision=hi) * inv_s2
+        else:
+            # +-1 entries are exact in bf16 and the f32-accumulated
+            # integer sums stay < 2^24 — default precision is EXACT here
+            G = jnp.dot(V, V.T)
+            h_lik = jnp.dot(V, r, precision=hi) * inv_s2
+        L_t = jnp.sum(leaf_mask, axis=1).astype(dtype)
+        h = h_lik - jnp.sum(d_leaf * bart_state.leaf_value,
+                            axis=1) * inv_smu2
+        P = G * inv_s2 + jnp.diag(L_t * inv_smu2)
+        Lm = jnp.linalg.cholesky(P)
+        mean = jax.scipy.linalg.cho_solve((Lm, True), h)
+        z = jax.random.normal(rng_z, (T,), dtype)
+        c = mean + jax.scipy.linalg.solve_triangular(Lm.T, z, lower=False)
+
+        return bart_state._replace(
+            leaf_value=bart_state.leaf_value + c[:, None] * d_leaf,
+            tree_fit=bart_state.tree_fit + c[:, None] * V,
+            allfit=bart_state.allfit + jnp.dot(c, V, precision=hi),
+        )
 
     def _level_gibbs_update(self, nuts, bart_state, bart_offset, latents,
                             rng):
@@ -818,6 +913,23 @@ class GibbsProgram:
         """BART fit -> Stan offset, then draw packaging (per chain)."""
         pm, cfg = self.pm, self.bart_cfg
 
+        # ---- (4a, optional) ensemble-wide conjugate leaf refresh ---------
+        # leaf_gibbs exact directional draws over the joint leaf-value
+        # space (random Walsh directions; _leaf_gibbs_update), re-mixing
+        # the cross-tree fit-error directions that carry the lp/sigma ESS
+        # floor.  lp telemetry is recomputed below.
+        if self.leaf_gibbs > 0:
+            if self.is_binary:
+                sigma_lg = jnp.asarray(1.0, self.dtype)
+            else:
+                c_lg, _ = pm.layout.constrain(nuts.q)
+                sigma_lg = pm.transformed(c_lg)["aux"]
+            for j in range(self.leaf_gibbs):
+                bart_state = self._leaf_gibbs_update(
+                    bart_state, bart_offset, latents, sigma_lg,
+                    jax.random.fold_in(rng, 0x1eaf + j),
+                )
+
         # ---- (4b, optional) additive-level interweave --------------------
         # one conjugate draw over (per-tree leaf shifts, ranef-intercept
         # shifts): re-mixes the prior-identified global-level direction
@@ -832,7 +944,7 @@ class GibbsProgram:
         # ---- (5) BART fit -> Stan offset ---------------------------------
         bart_fit = bart_state.allfit
         stan_offset = self._stan_offset_from_fit(bart_fit)
-        if self.level_gibbs:
+        if self.level_gibbs or self.leaf_gibbs > 0:
             y_stan = latents if self.is_binary else self.y
             if self.use_gram:
                 # one O(N*D) anchored pass — avoids the direct path's

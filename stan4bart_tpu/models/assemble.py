@@ -70,6 +70,12 @@ class StanArgs:
     # ensemble and the ranef intercepts (same posterior;
     # GibbsProgram.level_gibbs; either parameterization).  None = auto.
     level_gibbs: bool | None = None
+    # ensemble-wide conjugate leaf refresh: N random Walsh-direction
+    # rank-T exact conjugate draws over per-tree leaf-value shifts per
+    # iteration (same posterior; GibbsProgram.leaf_gibbs) — targets the
+    # joint leaf-value relaxation across trees (the lp/sigma ESS floor).
+    # 0 = off.
+    leaf_gibbs: int = 0
     # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
     # reformulation; GibbsProgram.gram_lik).  None = auto by D
     gram_lik: bool | None = None
@@ -108,6 +114,7 @@ def _validate_stan_args(sa: StanArgs):
     check("max_treedepth", sa.max_treedepth, lo=1)
     check("stepsize", sa.stepsize, lo=0.0, lo_open=True)
     check("stepsize_jitter", sa.stepsize_jitter, lo=0.0, hi=1.0)
+    check("leaf_gibbs", sa.leaf_gibbs, lo=0)
     if sa.freeze_rule not in ("bar", "mid", "last"):
         raise ValueError("stan_args freeze_rule must be bar, mid, or last")
     if sa.pooled_parts not in ("metric", "stepsize", "both"):

@@ -64,6 +64,7 @@ class Stan4bartFit:
     # (that double application silently corrupted resumed qr=True fits).
     qr_unrotated: bool = False
     _name_idx: dict = field(default_factory=dict, init=False)
+    _rng_calls: int = field(default=0, init=False)
 
     def __post_init__(self):
         self._name_idx = {n: i for i, n in enumerate(self.stan_names)}
@@ -132,7 +133,12 @@ class Stan4bartFit:
         return it * self.chains
 
     def _rng(self):
-        return np.random.default_rng(self.seed + 0x5EED)
+        # fresh stream per call: repeated extract("ppd") calls must return
+        # fresh noise, and the ppd / new-level-ranef streams must not be
+        # correlated (the reference draws from R's global RNG each call,
+        # generics.R:419-461); still reproducible per fit + call sequence
+        self._rng_calls += 1
+        return np.random.default_rng((self.seed, 0x5EED, self._rng_calls))
 
     # -- component draws (internal, (chains, iter, ...) layout) -------------
 
@@ -165,16 +171,28 @@ class Stan4bartFit:
             raise ValueError("sigma is not defined for binary outcomes")
         return self._stan_rows(["aux.1"], include_warmup)[..., 0]
 
+    def _term_keys(self):
+        """Dict keys per ranef term: the group name, disambiguated when a
+        factor carries several independent terms (|| splits; R's VarCorr
+        allows duplicate list names, Python dicts cannot)."""
+        keys, seen = [], {}
+        for t in self.mf.re_terms:
+            n = seen.get(t.group_name, 0)
+            seen[t.group_name] = n + 1
+            keys.append(t.group_name if n == 0
+                        else f"{t.group_name}.{n + 1}")
+        return keys
+
     def _Sigma_draws(self, include_warmup):
         """Per-term covariance draws from theta_L (mkVarCorr semantics,
         lme4_functions.R:1199-1224; dispersion already folded in)."""
         th = self._theta_L_draws(include_warmup)  # (C, I, L)
         out = {}
         mark = 0
-        for t in self.mf.re_terms:
+        for t, key in zip(self.mf.re_terms, self._term_keys()):
             p = t.p
             if p == 1:
-                out[t.group_name] = (th[..., mark] ** 2)[..., None, None]
+                out[key] = (th[..., mark] ** 2)[..., None, None]
                 mark += 1
             else:
                 ntri = p + math.comb(p, 2)
@@ -186,7 +204,7 @@ class Stan4bartFit:
                     for r in range(c, p):
                         T[..., r, c] = seg[..., k]
                         k += 1
-                out[t.group_name] = T @ np.swapaxes(T, -1, -2)
+                out[key] = T @ np.swapaxes(T, -1, -2)
         return out
 
     def _frame_for(self, sample):
@@ -214,7 +232,8 @@ class Stan4bartFit:
         Sigmas = (self._Sigma_draws(include_warmup)
                   if sample_new_levels else None)
         off = 0
-        for t_train, t in zip(self.mf.re_terms, re_terms):
+        for t_train, t, key in zip(self.mf.re_terms, re_terms,
+                                   self._term_keys()):
             p, l = t_train.p, t_train.l
             b_term = b[..., off : off + p * l].reshape(C, I, l, p)
             gidx = np.asarray(t.group_idx)
@@ -224,7 +243,7 @@ class Stan4bartFit:
                                 b_term[:, :, safe, :])
             if (~seen).any():
                 if sample_new_levels:
-                    Sig = Sigmas[t_train.group_name]  # (C, I, p, p)
+                    Sig = Sigmas[key]  # (C, I, p, p)
                     chol = np.linalg.cholesky(
                         Sig + 1e-12 * np.eye(p)
                     )
@@ -347,9 +366,9 @@ class Stan4bartFit:
             C, I = b.shape[:2]
             out = {}
             off = 0
-            for t in self.mf.re_terms:
+            for t, key in zip(self.mf.re_terms, self._term_keys()):
                 arr = b[..., off : off + t.p * t.l].reshape(C, I, t.l, t.p)
-                out[t.group_name] = self._flatten(arr, combine_chains)
+                out[key] = self._flatten(arr, combine_chains)
                 off += t.p * t.l
             return out
         if type == "Sigma":
@@ -788,10 +807,13 @@ class Stan4bartFit:
         sd = chains_first.std(axis=(0, 1), ddof=1)
         q5, q95 = np.quantile(chains_first, [0.05, 0.95], axis=(0, 1))
         rhat = np.asarray(split_rhat(chains_first))
-        ess_vals = np.array([
-            float(ess(chains_first[:, :, j]))
-            for j in range(chains_first.shape[-1])
-        ])
+        # one vmapped dispatch over the parameter axis (a per-parameter
+        # Python loop is O(P) dispatches — pathological at large q)
+        import jax
+
+        ess_vals = np.asarray(
+            jax.jit(jax.vmap(ess, in_axes=2))(chains_first)
+        ).astype(np.float64)
         out = dict(names=names, mean=mean, sd=sd, q5=q5, q95=q95,
                    rhat=rhat, ess=ess_vals)
         if include_diagnostics:

@@ -180,3 +180,67 @@ def test_b_names(df):
     assert names[0] == "b[(Intercept) g.1:0]"
     assert names[1] == "b[X4 g.1:0]"
     assert len(names) == 10
+
+
+def test_double_bar_splits():
+    """(expr || g) splits into independent terms exactly as the reference
+    (expandDoubleVert, lme4_functions.R:555-566; findbars expands with
+    expand_doublevert_method="split", :731-736)."""
+    p = parse_formula("y ~ bart(x1) + (1 + x2 || g)")
+    assert len(p.random_terms) == 2
+    assert p.random_terms[0].lhs_intercept
+    assert p.random_terms[0].lhs_terms == []
+    assert not p.random_terms[1].lhs_intercept
+    assert p.random_terms[1].lhs_terms == ["x2"]
+    # no intercept: just the slope term
+    p0 = parse_formula("y ~ bart(x1) + (0 + x2 || g)")
+    assert len(p0.random_terms) == 1
+    assert not p0.random_terms[0].lhs_intercept
+    # intercept only: single term, same as (1 | g)
+    p1 = parse_formula("y ~ bart(x1) + (1 || g)")
+    assert len(p1.random_terms) == 1
+    assert p1.random_terms[0].lhs_intercept
+    # several slopes each get their own term
+    p2 = parse_formula("y ~ bart(x1) + (1 + a + b || g)")
+    assert [(t.lhs_intercept, t.lhs_terms) for t in p2.random_terms] == [
+        (True, []), (False, ["a"]), (False, ["b"])
+    ]
+
+
+def test_double_bar_builds_like_explicit_split(df):
+    mf = build_model_frame("y ~ bart(X1+X2) + X4 + (1 + X4 || g.1)", df)
+    explicit = build_model_frame(
+        "y ~ bart(X1+X2) + X4 + (1 | g.1) + (0 + X4 | g.1)", df
+    )
+    assert mf.p == explicit.p == [1, 1]
+    assert mf.q == explicit.q
+    # two independent scalar blocks -> 2 variance parameters, 0 covariances
+    assert mf.len_theta_L == 2
+    for a, b in zip(mf.re_terms, explicit.re_terms):
+        np.testing.assert_array_equal(a.group_idx, b.group_idx)
+        np.testing.assert_array_equal(a.lhs, b.lhs)
+
+
+def test_double_bar_fit_diagonal_covariance(df):
+    """A || fit's covariance posterior is structurally diagonal: Sigma
+    comes back as two independent 1x1 blocks (off-diagonals absent), and
+    both extract dict types disambiguate the repeated group name."""
+    from stan4bart_tpu import stan4bart
+
+    fit = stan4bart(
+        "y ~ bart(X1 + X2 + X3) + X4 + (1 + X4 || g.1)", df,
+        seed=3, chains=2, iter=60, warmup=30, verbose=-1,
+        bart_args={"n.trees": 10},
+    )
+    sig = fit.extract("Sigma")
+    assert set(sig.keys()) == {"g.1", "g.1.2"}
+    assert sig["g.1"].shape[:2] == (1, 1)
+    assert sig["g.1.2"].shape[:2] == (1, 1)
+    ran = fit.extract("ranef")
+    assert set(ran.keys()) == {"g.1", "g.1.2"}
+    assert np.all(np.isfinite(sig["g.1"]))
+    # ev still coherent with the components
+    ev = fit.extract("ev")
+    comp = (fit.extract("indiv.bart") + fit.extract("indiv.fixef")
+            + fit.extract("indiv.ranef"))
+    np.testing.assert_allclose(ev, comp, atol=1e-5)
