@@ -91,7 +91,11 @@ def main():
               f"{CHAINS * ITERS / dt:.0f} draws/s", flush=True)
         return dt
 
-    timeit(True)
+    try:
+        timeit(True)
+    except Exception as e:  # scoped-VMEM OOM past the kernel's n ceiling
+        print(f"fused-sliced: FAILED ({type(e).__name__}: "
+              f"{str(e)[:200]})", flush=True)
     timeit(False)
 
 

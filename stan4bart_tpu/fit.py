@@ -115,6 +115,12 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     # cheap shape of the same kernel: N random single-tree regrow +
     # leaf-redraw updates appended per sweep (~1 tree-move cost each)
     regrow_per_sweep = int(pop("regrow_per_sweep", default=0))
+    # fixed leaf-prior sd (disables the data-driven range scaling +
+    # warmup decay) — makes the model a well-defined generative prior
+    # for simulation-based calibration (BartConfig.sigma_mu_fixed)
+    sigma_mu_fixed = pop("sigma_mu_fixed", default=None)
+    if sigma_mu_fixed is not None:
+        sigma_mu_fixed = float(sigma_mu_fixed)
     # None = auto: on when running on real TPU hardware and the model is
     # eligible (f32, unweighted, max_depth <= 6); see stan4bart() below
     sweep_kernel = pop("sweep_kernel", default=None)
@@ -143,6 +149,7 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
         node_scale=3.0 if is_binary else 0.5,
         k_init=k_init, k_df=k_df, k_scale=k_scale,
         p_regrow=p_regrow, regrow_per_sweep=regrow_per_sweep,
+        sigma_mu_fixed=sigma_mu_fixed,
     )
     if p_regrow > 0 or regrow_per_sweep > 0:
         if sweep_kernel:
@@ -209,6 +216,21 @@ class CallbackDraw:
         return self.raw.stan[self._idx[name]]
 
 
+def _auto_chunk_size(n_obs: int, num_trees: int, chains: int,
+                     skip_bart: int, budget_s: float = 20.0) -> int:
+    """Iterations per device execution on time-capped backends.
+
+    The axon TPU tunnel kills single device executions over ~60s; one
+    fused scan over all iterations at production sizes exceeds that.
+    Sized from a conservative per-iteration estimate so each execution
+    stays well under the cap: the XLA sweep measures ~2e-9 s per
+    (obs x tree x chain) on this chip class, and the fused Mosaic kernel
+    is ~4x faster, so this undershoots the cap either way."""
+    est_iter_s = (2e-9 * n_obs * num_trees * chains
+                  * max(int(skip_bart), 1) + 1e-6)
+    return int(np.clip(budget_s / est_iter_s, 1, 500))
+
+
 def stan4bart(
     formula: str,
     data,
@@ -237,6 +259,7 @@ def stan4bart(
     chunk_size: int | None = None,
     algorithm: str = "nuts",
     dtype=None,
+    _progress=None,
 ):
     """Fit a semiparametric BART + multilevel model. Returns Stan4bartFit.
 
@@ -245,13 +268,33 @@ def stan4bart(
     (default iter/2); ``skip`` thins (int, or dict with 'bart'/'stan'
     entries); ``offset_type`` selects the component-substitution debugging
     semantics for a user ``offset``.
+
+    ``algorithm`` selects the parametric-block sampler within Gibbs
+    (the reference vendors stan/variational but only exposes NUTS;
+    BASELINE.json names VI as a first-class backend):
+
+    - ``"nuts"`` (default): full MCMC.  The only algorithm with exact
+      posterior contracts; use for inference.
+    - ``"advi"``: stan::variational's adagrad ADVI (meanfield, or
+      fullrank via ``stan_args={"vi_family": "fullrank"}``) warm-started
+      across Gibbs iterations.  Accuracy contract: point estimates
+      (fixef, ranef means, the BART fit, SATE) track NUTS closely;
+      posterior SPREAD is approximate — meanfield understates
+      correlated-parameter variance, and the residual-sd posterior
+      inherits the VI-within-Gibbs upward bias below.
+    - ``"vi"``: EXPERIMENTAL streaming RMSProp VI tuned to track the
+      moving conditional.  Accuracy contract: fastest exploratory fits;
+      point estimates track NUTS, but the residual-sd (sigma) posterior
+      is biased HIGH (~1.8x measured on Friedman n=250) because q lags
+      the moving conditional — do not report sigma or interval widths
+      from this algorithm.  A post-fit warning restates this.
     """
     from stan4bart_tpu.results import Stan4bartFit
 
     if offset_type not in OFFSET_TYPES:
         raise ValueError(f"offset_type must be one of {OFFSET_TYPES}")
     if algorithm not in ("nuts", "vi", "advi"):
-        raise ValueError("algorithm must be 'nuts' or 'vi'")
+        raise ValueError("algorithm must be 'nuts', 'vi', or 'advi'")
     # formal bounds (the reference validates these R-side,
     # stan4bart_fit.R:385-410, and native-side via rc_bounds)
     if not isinstance(iter, (int, np.integer)) or iter <= 0:
@@ -387,14 +430,17 @@ def stan4bart(
             or (cores is not None and cores > 1
                 and len(jax.devices()) > 1)
         )
-        # VMEM ceiling: the kernel keeps one (128, NPAD) f32 membership
-        # one-hot live per grid step (512*NPAD bytes) plus the (CB, NPAD)
-        # residual/fit rows; past ~20k observations that approaches
-        # Mosaic's 16M scoped-VMEM stack and the compile hard-fails —
-        # auto-fall back to the XLA scan sweep there (an explicit
-        # bart_args sweep_kernel=True still forces the kernel)
+        # Fused-kernel n ceiling, set from CHIP MEASUREMENT (benchmarks/
+        # large_n_chip.py, BENCH_NOTES round 3): at n=50k/64 chains the
+        # lane-sliced kernel works and is 3.1x the XLA scan (117.5 vs
+        # 367.8 ms/iter) — the old 20k fallback was a hidden 3x cliff.
+        # At n=100k+ the kernel's whole-row (CB, NPAD) buffers exceed
+        # Mosaic's 16M scoped-VMEM stack even at CB=1 (56.7M at 200k)
+        # and the compile hard-fails, so the auto gate stays at the
+        # measured-good NPAD=51840; the XLA scan covers larger n until
+        # the sweep grid is obs-tiled.  S4B_SWEEP_KERNEL_MAX_N overrides.
         n_ok = mf.bart_X.shape[0] <= int(
-            os.environ.get("S4B_SWEEP_KERNEL_MAX_N", "20000")
+            os.environ.get("S4B_SWEEP_KERNEL_MAX_N", "51840")
         )
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
@@ -442,9 +488,17 @@ def stan4bart(
         linear_gibbs=resolved_stan_args.linear_gibbs,
         level_gibbs=resolved_stan_args.level_gibbs,
         leaf_gibbs=resolved_stan_args.leaf_gibbs,
+        leaf_block=resolved_stan_args.leaf_block,
+        leaf_block_dim=resolved_stan_args.leaf_block_dim,
         gram_lik=resolved_stan_args.gram_lik,
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
+        vi_method="adagrad" if algorithm == "advi" else "rmsprop",
+        vi_family=(resolved_stan_args.vi_family if algorithm == "advi"
+                   else "meanfield"),
+        vi_steps=resolved_stan_args.vi_steps,
+        vi_mc=resolved_stan_args.vi_mc,
+        vi_eta=resolved_stan_args.vi_eta,
         sweep_kernel=sweep_kernel,
         dtype=dtype,
     )
@@ -483,14 +537,26 @@ def stan4bart(
     else:
         cb = None
 
-    # the reference's refresh formal (progress every `refresh` iterations,
-    # stan4bart.R:18, init.cpp:753-754): printing requires host-driven
-    # chunked execution, so refresh implies chunk_size when verbose > 0
-    if refresh is not None and chunk_size is None and verbose > 0:
+    # the reference's refresh formal defaults to iter/10
+    # (stan4bart.R:18); progress prints at phase level for verbose > 0 and
+    # per-refresh for verbose > 1 (init.cpp:746-754)
+    if refresh is None:
+        refresh = max(iter // 10, 1)
+    # auto-chunking on time-capped devices (see _auto_chunk_size)
+    if (chunk_size is None and jax.process_count() == 1
+            and jax.default_backend() in ("tpu", "axon")):
+        chunk_size = _auto_chunk_size(mf.N, bart_cfg.num_trees, chains,
+                                      skip_bart)
+    # per-refresh progress printing needs chunk boundaries at the refresh
+    # cadence
+    if verbose > 1 and chunk_size is None:
         chunk_size = max(int(refresh), 1)
+    if chunk_size is not None and verbose > 1:
+        chunk_size = min(chunk_size, max(int(refresh), 1))
 
     import time as _time
 
+    run_info = None
     t_start = _time.perf_counter()
     if jax.process_count() > 1:
         # multi-host SPMD: every process runs this same program; chains
@@ -502,12 +568,6 @@ def stan4bart(
         final_states, draws = run_chains_multihost(
             prog, np.asarray(keys), bart_offset_init=boi,
             sigma_init=sigma_init, keep_warmup=True, callback=cb,
-        )
-    elif chunk_size is not None:
-        # host-chunked execution: progress reporting + time-capped devices
-        final_states, draws = prog.run_chains_chunked(
-            keys, chunk_size, bart_offset_init=boi, sigma_init=sigma_init,
-            keep_warmup=True, callback=cb, verbose=verbose,
         )
     elif cores is not None and cores > 1 and len(jax.devices()) > 1:
         # the reference's chain-over-cores parallelism mapped to a device
@@ -534,26 +594,20 @@ def stan4bart(
                 bart_offset_init=boi, sigma_init=sigma_init,
                 keep_warmup=True, callback=cb,
             )
-    elif prog.sweep_consts is not None and cb is None and chains > 1:
-        # batch-explicit driver: chain-blocked fused sweep across the
-        # whole chain batch (measured +35% over the vmapped driver at
-        # the 64-chain headline; BENCH_NOTES part 6)
-        run_all = jax.jit(lambda ks: prog.run_chains_batched(
-            ks, bart_offset_init=boi, sigma_init=sigma_init,
-            keep_warmup=True,
-        ))
-        final_states, draws = run_all(keys)
     else:
-        def run_one(key):
-            return prog.run_chain(
-                key, bart_offset_init=boi, sigma_init=sigma_init,
-                keep_warmup=True, callback=cb,
-            )
-
-        # bind the chain axis name so pooled-adaptation collectives
-        # (NutsConfig.pooled_axis="chains") resolve; harmless when unused
-        run_all = jax.jit(jax.vmap(run_one, axis_name="chains"))
-        final_states, draws = run_all(keys)
+        # default path: host-chunked execution (GibbsProgram.
+        # run_chains_chunked dispatches to the chain-blocked fused-sweep
+        # driver when eligible, the vmapped per-chain driver otherwise).
+        # chunk_size=None runs each phase as ONE device execution — the
+        # same compiled programs as a fused scan, but with real per-phase
+        # wall clock, phase banners, and interruptibility for free.
+        eff_chunk = (chunk_size if chunk_size is not None
+                     else max(warmup, iterations, 1))
+        final_states, draws, run_info = prog.run_chains_chunked(
+            keys, eff_chunk, bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True, callback=cb, verbose=verbose,
+            refresh=refresh, progress=_progress,
+        )
     draws = jax.tree_util.tree_map(np.asarray, draws)
     total_time = _time.perf_counter() - t_start
     callback_draws = None
@@ -562,6 +616,28 @@ def stan4bart(
         draws = draws["draw"]
     elif callback is None and not keep_fits:
         draws = None  # nothing was stored (reference init.cpp:691-720)
+
+    if run_info is not None:
+        timings = dict(
+            total=total_time,
+            # REAL measured per-phase wall clock (the reference's
+            # warm/sample_delta_t, interruptable_sampler.hpp:101-102)
+            warmup=run_info["warmup_s"],
+            sample=run_info["sample_s"],
+        )
+        if run_info["interrupted"]:
+            timings["interrupted"] = True
+            # a partial fit is still a valid fit: the warmup boundary is
+            # however many warmup draws actually completed
+            warmup = min(warmup, run_info["warmup_done"])
+    else:
+        # sharded/multihost dispatches run one fused program: phase split
+        # pro-rated by iteration counts
+        timings = dict(
+            total=total_time,
+            warmup=total_time * warmup / max(iter, 1),
+            sample=total_time * iterations / max(iter, 1),
+        )
 
     fit = Stan4bartFit(
         mf=mf, pm=pm, prog=prog, family=family,
@@ -575,16 +651,19 @@ def stan4bart(
         seed=int(seed),
         callback_draws=callback_draws,
         prior_info=assemble_info.get("prior_summary"),
-        timings=dict(
-            total=total_time,
-            # phase split pro-rated by iteration counts (single fused scan;
-            # chunked mode measures the phases separately)
-            warmup=total_time * warmup / max(iter, 1),
-            sample=total_time * iterations / max(iter, 1),
-        ),
+        timings=timings,
     )
     if verbose >= 1:
         fit.prior_summary()
     if verbose >= 0:
         fit.check_sampler_diagnostics()
+    if algorithm == "vi":
+        warnings.warn(
+            "algorithm='vi' is a streaming variational approximation: "
+            "point estimates track NUTS but the residual-sd (sigma) "
+            "posterior is biased high (~1.8x measured) — do not report "
+            "sigma or interval widths from this fit; use "
+            "algorithm='nuts' for inference",
+            stacklevel=2,
+        )
     return fit

@@ -53,13 +53,16 @@ OFFSET_TYPES = ("default", "fixef", "ranef", "bart", "parametric")
 
 
 class ViState(NamedTuple):
-    """Streaming meanfield variational state for the VI-within-Gibbs
-    backend (mu, log-sd, RMSProp second-moment accumulator, step count)."""
+    """Streaming variational state for the VI-within-Gibbs backends
+    (mu, log-sd, optimizer second-moment accumulator, step count, and —
+    fullrank only — the strict lower triangle of the covariance factor
+    L = diag(exp(omega)) + strict_tril(L_off))."""
 
     mu: jnp.ndarray
     omega: jnp.ndarray
     acc: jnp.ndarray
     count: jnp.ndarray
+    L_off: jnp.ndarray = jnp.zeros((0, 0))
 
 
 class GibbsState(NamedTuple):
@@ -167,6 +170,25 @@ class GibbsProgram:
         # gathers), and the T x T Gram V V' of the +-1 direction columns
         # is exact at default MXU precision.  0 = off.
         leaf_gibbs: int = 0,
+        # FULL ensemble-wide blocked leaf draw (beyond reference): every
+        # ``leaf_block`` iterations redraw the leaf values of ALL trees
+        # jointly from their exact Gaussian conditional given the
+        # structures (f is linear in leaves; the membership one-hots give
+        # the design).  Unlike the rank-T directional refresh above, this
+        # re-mixes the COLLINEAR cross-tree directions (trees fitting
+        # overlapping regions) where directional Gibbs mixes at ~1/kappa —
+        # the natural completion of dbarts' per-node conjugate posterior
+        # (SURVEY.md section 2.4) applied jointly.  Active leaves are
+        # compacted to a static ``leaf_block_dim``-dimensional system
+        # (Gram via 0/1 one-hot matmuls: exact at integer counts < 2^24;
+        # Cholesky on the MXU); when the ensemble's active-leaf count
+        # exceeds the cap the draw is skipped for that iteration — a
+        # state-dependent selection among posterior-invariant kernels
+        # (the draw never changes structures, so the selector is constant
+        # along its moves; invariance preserved).  0 = off; k = every k
+        # iterations.
+        leaf_block: int = 0,
+        leaf_block_dim: int = 0,   # 0 = auto: ~8 leaves/tree, 128-padded
         keep_trees: bool = False,
         # "vi" = EXPERIMENTAL streaming meanfield VI-within-Gibbs: point
         # estimates (fixef, SATE) and the BART fit track NUTS closely but
@@ -174,6 +196,14 @@ class GibbsProgram:
         # n=250) because q lags the moving conditional; use for fast
         # exploratory fits, NUTS for inference
         parametric_method: str = "nuts",   # "nuts" | "vi"
+        # optimizer for the VI-within-Gibbs conditional: "rmsprop"
+        # (streaming, slow-decay — tracks the moving conditional) or
+        # "adagrad" (stan::variational's rule, advi.hpp semantics —
+        # the public algorithm="advi" surface)
+        vi_method: str = "rmsprop",
+        # variational family: "meanfield" (diagonal) or "fullrank"
+        # (dense lower-triangular factor; stan::variational parity)
+        vi_family: str = "meanfield",
         vi_steps: int = 5,
         vi_mc: int = 4,
         vi_eta: float = 0.5,
@@ -194,6 +224,12 @@ class GibbsProgram:
         if parametric_method not in ("nuts", "vi"):
             raise ValueError("parametric_method must be 'nuts' or 'vi'")
         self.parametric_method = parametric_method
+        if vi_method not in ("rmsprop", "adagrad"):
+            raise ValueError("vi_method must be 'rmsprop' or 'adagrad'")
+        if vi_family not in ("meanfield", "fullrank"):
+            raise ValueError("vi_family must be 'meanfield' or 'fullrank'")
+        self.vi_method = vi_method
+        self.vi_family = vi_family
         self.vi_steps = int(vi_steps)
         self.vi_mc = int(vi_mc)
         self.vi_eta = float(vi_eta)
@@ -337,6 +373,14 @@ class GibbsProgram:
         if lvl_on:
             self._level_terms = terms
         self.leaf_gibbs = int(leaf_gibbs)
+        self.leaf_block = int(leaf_block)
+        T_, M_ = bart_cfg.num_trees, bart_cfg.max_nodes
+        if leaf_block_dim:
+            self.leaf_block_dim = min(int(leaf_block_dim), T_ * M_)
+        else:
+            # auto: ~8 active leaves/tree of headroom (equilibrium under
+            # the CGM prior is ~2-3), rounded up to the 128-lane tile
+            self.leaf_block_dim = min(-(-8 * T_ // 128) * 128, T_ * M_)
 
         # NUTS windowed-adaptation schedule over warmup * skip_stan
         # transitions (interruptable_sampler.hpp:171)
@@ -390,6 +434,8 @@ class GibbsProgram:
         """Leaf-prior sd in original units (SURVEY.md 2.4: node.scale forced
         response scale)."""
         cfg = self.bart_cfg
+        if cfg.sigma_mu_fixed is not None:
+            return jnp.asarray(cfg.sigma_mu_fixed, self.dtype)
         if self.is_binary:
             rng_scale = 1.0
         else:
@@ -448,8 +494,10 @@ class GibbsProgram:
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 
         nuts = nuts_init(None, q0, stepsize=self.stepsize_init)
+        # jnp (not host numpy): y may be a traced argument when whole
+        # fits are jitted over simulated responses (benchmarks/sbc.py)
         scale_y = (1.0 if self.is_binary
-                   else float(np.std(np.asarray(self.y), ddof=1)))
+                   else jnp.std(self.y, ddof=1))
         nuts = nuts._replace(inv_mass=jnp.asarray(
             pm.initial_inv_mass(scale_y, self.N), dtype=self.dtype
         ))
@@ -462,13 +510,17 @@ class GibbsProgram:
             log_eps=jnp.log(eps), mu=jnp.log(10.0 * eps)))
 
         if self.parametric_method == "vi":
+            P_u = pm.num_upars
+            fullrank = self.vi_family == "fullrank"
+            n_vparams = 2 * P_u + (P_u * P_u if fullrank else 0)
             vi = ViState(
                 mu=q0,
                 omega=0.5 * jnp.log(jnp.asarray(
                     pm.initial_inv_mass(scale_y, self.N), dtype=self.dtype
                 )),
-                acc=jnp.zeros(2 * pm.num_upars, dtype=self.dtype),
+                acc=jnp.zeros(n_vparams, dtype=self.dtype),
                 count=jnp.zeros((), dtype=self.dtype),
+                L_off=jnp.zeros((P_u if fullrank else 0,) * 2, self.dtype),
             )
         else:
             vi = ViState(jnp.zeros(0, self.dtype), jnp.zeros(0, self.dtype),
@@ -618,6 +670,78 @@ class GibbsProgram:
             tree_fit=bart_state.tree_fit + c[:, None] * V,
             allfit=bart_state.allfit + jnp.dot(c, V, precision=hi),
         )
+
+    def _leaf_block_update(self, bart_state, bart_offset, latents, sigma,
+                           rng):
+        """Full blocked draw of ALL trees' leaf values from their joint
+        Gaussian conditional given the structures (see the ``leaf_block``
+        constructor docstring).
+
+        With W the (N, D) compacted leaf-membership matrix (row n has a 1
+        in each tree's occupied leaf column), the conditional is
+
+            mu ~ N(P^{-1} h, P^{-1}),
+            P = W' diag(w) W / sigma^2 + I / sigma_mu^2,
+            h = W' (w * r) / sigma^2,   r = y_stan - bart_offset.
+
+        Active (t, leaf) slots are ranked into [0, D) by per-tree cumsum;
+        the 0/1 Gram is exact at default MXU precision (co-membership
+        counts < 2^24).  If the active-leaf count exceeds D the update is
+        skipped (state-dependent selection among invariant kernels; the
+        selector depends only on structures, which the draw never moves).
+        """
+        cfg = self.bart_cfg
+        hi = jax.lax.Precision.HIGHEST
+        dtype = self.dtype
+        T, M, D = cfg.num_trees, cfg.max_nodes, self.leaf_block_dim
+        y_stan = latents if self.is_binary else self.y
+        r = y_stan - bart_offset
+        inv_s2 = 1.0 / (sigma * sigma)
+        inv_smu2 = 1.0 / (bart_state.sigma_mu * bart_state.sigma_mu)
+
+        leaf_mask = bart_state.feature == bart_ops.LEAF          # (T, M)
+        L_t = jnp.sum(leaf_mask, axis=1)
+        base_t = jnp.cumsum(L_t) - L_t                           # (T,)
+        within = jnp.cumsum(leaf_mask, axis=1) - 1
+        compact = jnp.where(leaf_mask, base_t[:, None] + within, D)
+        n_active = jnp.sum(L_t)
+        ok = n_active <= D
+
+        # per-obs compact ids, one per tree (leaf_idx always lands in a
+        # LEAF slot, so every entry is a real leaf rank)
+        comp = jnp.take_along_axis(compact, bart_state.leaf_idx, axis=1)
+
+        # W built tree-at-a-time (a (T, N, D) broadcast would materialize
+        # ~GBs across a chain batch); out-of-cap ids fall off the compare
+        ids = jnp.arange(D, dtype=comp.dtype)
+
+        def acc_w(t, W):
+            return W + (comp[t][:, None] == ids[None, :]).astype(dtype)
+
+        W = jax.lax.fori_loop(0, T, acc_w,
+                              jnp.zeros((self.N, D), dtype))
+        if self.weights is not None:
+            G = jnp.dot(W.T * self.weights[None, :], W, precision=hi)
+            h = jnp.dot(W.T, self.weights * r, precision=hi) * inv_s2
+        else:
+            G = jnp.dot(W.T, W)   # 0/1 entries: exact at default precision
+            h = jnp.dot(W.T, r, precision=hi) * inv_s2
+        P = G * inv_s2 + inv_smu2 * jnp.eye(D, dtype=dtype)
+        Lm = jnp.linalg.cholesky(P)
+        mean = jax.scipy.linalg.cho_solve((Lm, True), h)
+        z = jax.random.normal(rng, (D,), dtype)
+        mu = mean + jax.scipy.linalg.solve_triangular(Lm.T, z, lower=False)
+
+        mu_pad = jnp.concatenate([mu, jnp.zeros((1,), dtype)])
+        leaf_value = jnp.where(ok & leaf_mask,
+                               mu_pad[jnp.minimum(compact, D)],
+                               bart_state.leaf_value)
+        tree_fit = jnp.where(ok, mu_pad[jnp.minimum(comp, D)],
+                             bart_state.tree_fit)
+        allfit = jnp.where(ok, jnp.sum(tree_fit, axis=0),
+                           bart_state.allfit)
+        return bart_state._replace(leaf_value=leaf_value,
+                                   tree_fit=tree_fit, allfit=allfit)
 
     def _level_gibbs_update(self, nuts, bart_state, bart_offset, latents,
                             rng):
@@ -906,10 +1030,10 @@ class GibbsProgram:
         )
 
         return self._post_sweep(nuts, info, vi, bart_state, bart_offset,
-                                latents, varcount, rng)
+                                latents, varcount, rng, it)
 
     def _post_sweep(self, nuts, info, vi, bart_state, bart_offset,
-                    latents, varcount, rng):
+                    latents, varcount, rng, it):
         """BART fit -> Stan offset, then draw packaging (per chain)."""
         pm, cfg = self.pm, self.bart_cfg
 
@@ -918,17 +1042,32 @@ class GibbsProgram:
         # space (random Walsh directions; _leaf_gibbs_update), re-mixing
         # the cross-tree fit-error directions that carry the lp/sigma ESS
         # floor.  lp telemetry is recomputed below.
-        if self.leaf_gibbs > 0:
+        if self.leaf_gibbs > 0 or self.leaf_block > 0:
             if self.is_binary:
                 sigma_lg = jnp.asarray(1.0, self.dtype)
             else:
                 c_lg, _ = pm.layout.constrain(nuts.q)
                 sigma_lg = pm.transformed(c_lg)["aux"]
+        if self.leaf_gibbs > 0:
             for j in range(self.leaf_gibbs):
                 bart_state = self._leaf_gibbs_update(
                     bart_state, bart_offset, latents, sigma_lg,
                     jax.random.fold_in(rng, 0x1eaf + j),
                 )
+
+        # ---- (4a', optional) FULL blocked leaf draw every k iterations --
+        # (see _leaf_block_update).  The iteration predicate is a scalar
+        # shared by every chain, so under vmap this stays a real lax.cond
+        # (no both-branch select): off-iterations pay nothing.
+        if self.leaf_block > 0:
+            rng_lb = jax.random.fold_in(rng, 0xb10c)
+            bart_state = jax.lax.cond(
+                (it % self.leaf_block) == (self.leaf_block - 1),
+                lambda bs: self._leaf_block_update(
+                    bs, bart_offset, latents, sigma_lg, rng_lb),
+                lambda bs: bs,
+                bart_state,
+            )
 
         # ---- (4b, optional) additive-level interweave --------------------
         # one conjugate draw over (per-tree leaf shifts, ranef-intercept
@@ -944,7 +1083,7 @@ class GibbsProgram:
         # ---- (5) BART fit -> Stan offset ---------------------------------
         bart_fit = bart_state.allfit
         stan_offset = self._stan_offset_from_fit(bart_fit)
-        if self.level_gibbs or self.leaf_gibbs > 0:
+        if self.level_gibbs or self.leaf_gibbs > 0 or self.leaf_block > 0:
             y_stan = latents if self.is_binary else self.y
             if self.use_gram:
                 # one O(N*D) anchored pass — avoids the direct path's
@@ -1041,9 +1180,10 @@ class GibbsProgram:
                 interpret=self.sweep_interpret,
             )
 
-        post = jax.vmap(self._post_sweep, axis_name="chains")
+        post = jax.vmap(self._post_sweep, axis_name="chains",
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
         return post(nuts, info, vi, bart_state, bart_offset, latents,
-                    varcount, rng)
+                    varcount, rng, it)
 
     # ------------------------------------------------------------------
 
@@ -1079,44 +1219,81 @@ class GibbsProgram:
         return state, draws
 
     def _vi_update(self, state: GibbsState, logp, rng):
-        """Streaming meanfield VI on the current conditional posterior: a
-        few reparameterized ELBO RMSProp steps, then one draw from q —
+        """Streaming VI on the current conditional posterior: a few
+        reparameterized ELBO optimizer steps, then one draw from q —
         VI-within-Gibbs, the analog of dbarts' rbart_vi comparator
-        (test-02-binary.R:75-78) generalized to the full model class."""
+        (test-02-binary.R:75-78) generalized to the full model class.
+
+        vi_method="rmsprop": slow-decay RMSProp that tracks the moving
+        conditional (the ``algorithm="vi"`` surface).  vi_method="adagrad":
+        stan::variational's update rule (rate = eta * k^-1/2 / (tau +
+        sqrt(acc)), advi.hpp stochastic_gradient_ascent semantics) on
+        meanfield or fullrank q (the ``algorithm="advi"`` surface;
+        fullrank parameterizes theta = mu + L z with L = diag(exp(omega))
+        + strict_tril(L_off), entropy sum(omega))."""
         from stan4bart_tpu.ops.nuts import NutsInfo
 
         P = self.pm.num_upars
         dtype = self.dtype
         vi = state.vi
+        fullrank = self.vi_family == "fullrank"
+
+        def unpack(v):
+            mu, omega = v[:P], v[P : 2 * P]
+            L_off = (v[2 * P :].reshape(P, P) if fullrank
+                     else jnp.zeros((0, 0), dtype))
+            return mu, omega, L_off
+
+        def q_sample(v, z):
+            mu, omega, L_off = unpack(v)
+            th = mu + z * jnp.exp(omega)
+            if fullrank:
+                th = th + z @ jnp.tril(L_off, -1).T
+            return th
 
         def neg_elbo(v, r):
-            mu, omega = v[:P], v[P:]
             z = jax.random.normal(r, (self.vi_mc, P), dtype)
-            lp = jax.vmap(logp)(mu + z * jnp.exp(omega))
-            return -(jnp.mean(lp) + jnp.sum(omega))
+            lp = jax.vmap(logp)(q_sample(v, z))
+            return -(jnp.mean(lp) + jnp.sum(v[P : 2 * P]))
+
+        adagrad = self.vi_method == "adagrad"
 
         def body(j, carry):
             v, acc, cnt = carry
             g = jax.grad(neg_elbo)(v, jax.random.fold_in(rng, 101 + j))
             g = jnp.where(jnp.isfinite(g), g, 0.0)
-            acc = jnp.where(cnt == 0.0, g * g, 0.9 * acc + 0.1 * g * g)
-            # RMSProp with slow decay: the conditional target moves every
-            # Gibbs iteration, so a constant rate oscillates and a Stan-like
-            # k^-1/2 freezes too early
-            rate = self.vi_eta * (1.0 + 0.02 * cnt) ** -0.5
-            v = v - rate / (1.0 + jnp.sqrt(acc)) * g
+            if adagrad:
+                # stan::variational adagrad (tau = 1); count persists
+                # across Gibbs iterations (warm-started q)
+                acc = jnp.where(cnt == 0.0, g * g, 0.9 * acc + 0.1 * g * g)
+                rate = self.vi_eta * (cnt + 1.0) ** -0.5
+            else:
+                acc = jnp.where(cnt == 0.0, g * g, 0.9 * acc + 0.1 * g * g)
+                # RMSProp with slow decay: the conditional target moves
+                # every Gibbs iteration, so a constant rate oscillates and
+                # a Stan-like k^-1/2 freezes too early
+                rate = self.vi_eta * (1.0 + 0.02 * cnt) ** -0.5
+            step = rate / (1.0 + jnp.sqrt(acc)) * g
+            if fullrank:
+                # the P^2 off-diagonal factor entries destabilize the
+                # coupled Gibbs at the mu/omega rate (measured: sigma
+                # diverges ~3e4 at eta=0.5, stable at 0.1) — damp them 5x
+                step = step.at[2 * P :].set(0.2 * step[2 * P :])
+            v = v - step
             # keep log-sds sane under the moving target
-            v = v.at[P:].set(jnp.clip(v[P:], -12.0, 4.0))
+            v = v.at[P : 2 * P].set(jnp.clip(v[P : 2 * P], -12.0, 4.0))
+            if fullrank:
+                v = v.at[2 * P :].set(jnp.clip(v[2 * P :], -30.0, 30.0))
             return v, acc, cnt + 1.0
 
-        v0 = jnp.concatenate([vi.mu, vi.omega])
+        v0 = jnp.concatenate([vi.mu, vi.omega]
+                             + ([vi.L_off.ravel()] if fullrank else []))
         v, acc, cnt = jax.lax.fori_loop(
             0, self.vi_steps, body, (v0, vi.acc, vi.count)
         )
-        mu, omega = v[:P], v[P:]
-        u = mu + jax.random.normal(
-            jax.random.fold_in(rng, 7), (P,), dtype
-        ) * jnp.exp(omega)
+        mu, omega, L_off = unpack(v)
+        u = q_sample(v, jax.random.normal(
+            jax.random.fold_in(rng, 7), (1, P), dtype))[0]
         lp_u = logp(u)
         nuts = state.nuts._replace(q=u)
         info = NutsInfo(
@@ -1130,7 +1307,8 @@ class GibbsProgram:
             divergent=jnp.zeros((), dtype),
             energy=-lp_u,
         )
-        return nuts, info, ViState(mu=mu, omega=omega, acc=acc, count=cnt)
+        return nuts, info, ViState(mu=mu, omega=omega, acc=acc, count=cnt,
+                                   L_off=L_off)
 
     def _disengage(self, state: GibbsState) -> GibbsState:
         """Freeze the sampling stepsize (interruptable_sampler.hpp:206-210).
@@ -1154,12 +1332,28 @@ class GibbsProgram:
     def run_chains_chunked(self, keys, chunk_size: int,
                            bart_offset_init=None, sigma_init=1.0,
                            keep_warmup: bool = True, callback=None,
-                           verbose: int = 0):
+                           verbose: int = 0, refresh: int | None = None,
+                           progress=None):
         """Host-driven chunked execution: same sampler as run_chain but each
         device execution covers <= chunk_size iterations.  Needed where
         single executions are time-capped (the axon TPU tunnel kills runs
-        over ~60s) and enables between-chunk progress reporting (the
-        reference's refresh printing, init.cpp:753-754)."""
+        over ~60s); enables between-chunk progress reporting (the
+        reference's refresh printing, init.cpp:746-754: phase banners at
+        verbose > 0, per-``refresh`` iteration lines at verbose > 1),
+        real per-phase wall-clock timing (interruptable_sampler.hpp:
+        101-102 warm/sample_delta_t), and user interrupts between chunks
+        (the reference honors R_CheckUserInterrupt every transition,
+        stan_sampler.hpp:44-48) — a KeyboardInterrupt returns the draws
+        completed so far as a valid partial fit.
+
+        progress: optional ``f(phase, done, total)`` hook called after
+        every chunk (also the interrupt injection point for tests).
+
+        Returns ``(final_states, merged_draws, info)`` where info has
+        real measured ``warmup_s`` / ``sample_s``, per-phase completed
+        counts, and an ``interrupted`` flag."""
+        import time
+
         import numpy as np
 
         chunk_size = int(chunk_size)
@@ -1213,21 +1407,50 @@ class GibbsProgram:
 
         states = init_fn(keys)
         pieces = []
-        for phase, fn, total in (("warmup", warm_fn, self.warmup),
-                                 ("sample", samp_fn, self.iterations)):
-            if phase == "sample":
-                states = self._disengage(states)
-            for it0 in range(0, total, chunk_size):
-                n = min(chunk_size, total - it0)
-                states, draws = jax.block_until_ready(fn(states, it0, n))
-                if phase == "sample" or keep_warmup:
-                    pieces.append(jax.tree_util.tree_map(np.asarray, draws))
-                if verbose > 0:
-                    print(f"  {phase} {it0 + n} / {total}", flush=True)
+        info = {"warmup_s": 0.0, "sample_s": 0.0, "interrupted": False,
+                "warmup_done": 0, "sample_done": 0}
+        try:
+            for phase, fn, total in (("warmup", warm_fn, self.warmup),
+                                     ("sample", samp_fn, self.iterations)):
+                if phase == "sample":
+                    states = self._disengage(states)
+                if verbose > 0 and total > 0:
+                    print(f"starting {phase}, {total} draws", flush=True)
+                next_print = refresh if refresh else None
+                for it0 in range(0, total, chunk_size):
+                    n = min(chunk_size, total - it0)
+                    t0 = time.perf_counter()
+                    states, draws = jax.block_until_ready(
+                        fn(states, it0, n))
+                    info[f"{phase}_s"] += time.perf_counter() - t0
+                    info[f"{phase}_done"] = it0 + n
+                    if phase == "sample" or keep_warmup:
+                        pieces.append(
+                            jax.tree_util.tree_map(np.asarray, draws))
+                    if progress is not None:
+                        progress(phase, it0 + n, total)
+                    if verbose > 1 and next_print is not None:
+                        while it0 + n >= next_print:
+                            print(f"  iter {next_print} / {total}",
+                                  flush=True)
+                            next_print += refresh
+                    elif verbose > 0:
+                        print(f"  {phase} {it0 + n} / {total}", flush=True)
+        except KeyboardInterrupt:
+            if not pieces:
+                raise
+            info["interrupted"] = True
+            import warnings
+
+            warnings.warn(
+                "sampling interrupted: returning the "
+                f"{info['warmup_done']} warmup + {info['sample_done']} "
+                "sampling draws completed so far as a partial fit"
+            )
         merged = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=1), *pieces
         )
-        return states, merged
+        return states, merged, info
 
     def run_chains_batched(self, keys, bart_offset_init=None,
                            sigma_init=1.0, keep_warmup: bool = True,

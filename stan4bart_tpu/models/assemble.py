@@ -76,6 +76,18 @@ class StanArgs:
     # joint leaf-value relaxation across trees (the lp/sigma ESS floor).
     # 0 = off.
     leaf_gibbs: int = 0
+    # FULL ensemble-wide blocked leaf draw every k iterations: all trees'
+    # leaf values jointly from their exact Gaussian conditional given the
+    # structures (same posterior; GibbsProgram.leaf_block).  0 = off.
+    leaf_block: int = 0
+    leaf_block_dim: int = 0   # active-leaf cap; 0 = auto (~8/tree)
+    # VI-within-Gibbs knobs (algorithm="vi"/"advi"; GibbsProgram
+    # vi_family/vi_steps/vi_mc/vi_eta).  vi_family applies to
+    # algorithm="advi" only ("meanfield" | "fullrank").
+    vi_family: str = "meanfield"
+    vi_steps: int = 5
+    vi_mc: int = 4
+    vi_eta: float = 0.5
     # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
     # reformulation; GibbsProgram.gram_lik).  None = auto by D
     gram_lik: bool | None = None
@@ -115,6 +127,14 @@ def _validate_stan_args(sa: StanArgs):
     check("stepsize", sa.stepsize, lo=0.0, lo_open=True)
     check("stepsize_jitter", sa.stepsize_jitter, lo=0.0, hi=1.0)
     check("leaf_gibbs", sa.leaf_gibbs, lo=0)
+    check("leaf_block", sa.leaf_block, lo=0)
+    check("leaf_block_dim", sa.leaf_block_dim, lo=0)
+    check("vi_steps", sa.vi_steps, lo=1)
+    check("vi_mc", sa.vi_mc, lo=1)
+    check("vi_eta", sa.vi_eta, lo=0.0, lo_open=True)
+    if sa.vi_family not in ("meanfield", "fullrank"):
+        raise ValueError("stan_args vi_family must be meanfield or "
+                         "fullrank")
     if sa.freeze_rule not in ("bar", "mid", "last"):
         raise ValueError("stan_args freeze_rule must be bar, mid, or last")
     if sa.pooled_parts not in ("metric", "stepsize", "both"):

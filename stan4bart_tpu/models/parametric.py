@@ -1062,7 +1062,9 @@ class ParametricModel:
         the first adaptation window and bias a short run (observed with a
         sigma_init-based scale)."""
         cfg = self.cfg
-        out = np.ones(self.num_upars)
+        # jnp throughout so scale_y may be a traced value (the SBC
+        # harness jits whole fits with y as an argument)
+        out = jnp.ones(self.num_upars)
         prior_scale = np.asarray(self.hyper["prior_scale"])
         safety = 4.0
         for name, size, _ in self.layout.blocks:
@@ -1071,14 +1073,16 @@ class ParametricModel:
                 # early beta_j sd ~ sd(y) / (sd(x_j) sqrt(n)); X is centered
                 sd_x = np.maximum(np.std(np.asarray(self.X), axis=0), 1e-8)
                 beta_sd = safety * scale_y / (sd_x * np.sqrt(n_obs))
-                out[off : off + size] = (beta_sd / prior_scale) ** 2
+                out = out.at[off : off + size].set(
+                    (beta_sd / prior_scale) ** 2)
             elif name == "aux_unscaled" and not cfg.is_binary:
                 # log-sd posterior variance ~ 1/(2n), scale-free
-                out[off] = safety**2 / (2.0 * n_obs)
+                out = out.at[off].set(safety**2 / (2.0 * n_obs))
             elif name == "b_raw":
                 # centered b: marginal prior sd ~ tau * scale * sigma;
                 # over-wide is safe, adaptation shrinks it
-                out[off : off + size] = max(scale_y, 1.0) ** 2
+                out = out.at[off : off + size].set(
+                    jnp.maximum(scale_y, 1.0) ** 2)
         return out
 
     # -- output packaging -----------------------------------------------------
@@ -1114,6 +1118,107 @@ class ParametricModel:
             push("b", self.cfg.q)
             push("theta_L", self.cfg.len_theta_L)
         return names
+
+    def prior_draw_unconstrained(self, rng):
+        """One draw of the UNCONSTRAINED parameter vector from the model's
+        prior — the exact generative complement of ``_prior_lp``, block by
+        block (simulation-based calibration, benchmarks/sbc.py, and
+        prior-predictive tooling; the reference has no prior sampler —
+        rstanarm's prior_PD runs the full MCMC with the likelihood off).
+
+        Supported: normal / student-t / product-normal / R2 coefficient
+        priors (z_beta is standard normal under all of them — the CFt/R2
+        shaping lives in compute_beta), normal / student-t intercept,
+        half-normal / half-t / exponential aux, NON-centered ranef with
+        decov or lkj covariance priors.  Raises for flat priors (not
+        generative), hs / laplace coefficients, and the centered
+        parameterization."""
+        cfg, h = self.cfg, self.hyper
+        dtype = self.dtype
+        if cfg.z_beta_dim > 0 and cfg.prior_dist not in (1, 2, 7, 8):
+            raise NotImplementedError(
+                f"prior_draw: coefficient prior_dist {cfg.prior_dist} "
+                "(flat/hs/laplace) is not supported"
+            )
+        if cfg.has_intercept and cfg.prior_dist_for_intercept == 0:
+            raise NotImplementedError("prior_draw: flat intercept prior")
+        if not cfg.is_binary and cfg.prior_dist_for_aux == 0:
+            raise NotImplementedError("prior_draw: flat aux prior")
+        if cfg.centered:
+            raise NotImplementedError(
+                "prior_draw: centered ranef (draw non-centered and "
+                "transform)"
+            )
+
+        def logit(p):
+            return jnp.log(p) - jnp.log1p(-p)
+
+        parts = []
+        for bi, (name, size, kind) in enumerate(self.layout.blocks):
+            r = jax.random.fold_in(rng, bi)
+            if name == "gamma":
+                z = (jax.random.normal(r, (size,), dtype)
+                     if cfg.prior_dist_for_intercept == 1
+                     else jax.random.t(
+                         r, h["prior_df_for_intercept"], (size,), dtype))
+                v = (h["prior_mean_for_intercept"]
+                     + h["prior_scale_for_intercept"] * z)
+            elif name in ("z_beta", "z_b", "z_T"):
+                v = jax.random.normal(r, (size,), dtype)
+            elif name == "R2":
+                v = logit(jax.random.beta(
+                    r, 0.5 * cfg.K, h["R2_eta"], (size,), dtype))
+            elif name == "rho":
+                # the onion beta ladder — shapes exactly as _prior_lp
+                s1, s2 = [], []
+                reg_mark = 0
+                for nc in cfg.p:
+                    if nc > 1:
+                        reg = h["regularization"][reg_mark]
+                        reg_mark += 1
+                        s1.append(reg + 0.5 * (nc - 2))
+                        s2.append(reg + 0.5 * (nc - 2))
+                        nu_run = reg + 0.5 * (nc - 2)
+                        for j in range(2, nc):
+                            nu_run = nu_run - 0.5
+                            s1.append(0.5 * j)
+                            s2.append(nu_run)
+                v = logit(jax.random.beta(
+                    r, jnp.asarray(s1, dtype), jnp.asarray(s2, dtype),
+                    (size,), dtype))
+            elif name == "zeta":
+                v = jnp.log(jax.random.gamma(
+                    r, jnp.asarray(h["delta"], dtype), (size,), dtype))
+            elif name == "tau":
+                v = jnp.log(jax.random.gamma(
+                    r, jnp.asarray(h["shape_decov"], dtype), (size,),
+                    dtype))
+            elif name == "sds":
+                # half-student-t(df, 0, scale) per term coefficient;
+                # keep hyper reads traced (indexing a closed-over jnp
+                # constant under jit yields a tracer — float() would
+                # raise ConcretizationTypeError)
+                term = np.concatenate(
+                    [[i] * nc for i, nc in enumerate(cfg.p)]
+                ).astype(np.int32)
+                dfs = jnp.asarray(h["lkj_df"], dtype)[term]
+                scales = jnp.asarray(h["lkj_scale"], dtype)[term]
+                v = jnp.log(scales * jnp.abs(
+                    jax.random.t(r, dfs, (size,), dtype)))
+            elif name == "aux_unscaled":
+                if cfg.prior_dist_for_aux == 1:
+                    v = jnp.abs(jax.random.normal(r, (size,), dtype))
+                elif cfg.prior_dist_for_aux == 2:
+                    v = jnp.abs(jax.random.t(
+                        r, h["prior_df_for_aux"], (size,), dtype))
+                else:
+                    v = jax.random.exponential(r, (size,), dtype)
+                v = jnp.log(v)
+            else:
+                raise NotImplementedError(f"prior_draw: block {name}")
+            parts.append(v)
+        return (jnp.concatenate(parts) if parts
+                else jnp.zeros(0, dtype))
 
     @property
     def num_upars(self) -> int:

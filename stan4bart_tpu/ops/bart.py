@@ -69,6 +69,13 @@ class BartConfig(NamedTuple):
     # (random-scan composition; ~1 tree-move cost each instead of the
     # ~3x per-tree overhead of p_regrow).  0 = off.
     regrow_per_sweep: int = 0
+    # fix the leaf-prior sd at this value and disable the data-dependent
+    # range(y - offset) scaling + warmup decay schedule entirely.  Makes
+    # the joint model a well-defined generative prior — required for
+    # simulation-based calibration (benchmarks/sbc.py), where a
+    # data-dependent prior would break rank uniformity by construction.
+    # None = the default dbarts-parity data-driven sigma_mu.
+    sigma_mu_fixed: float | None = None
 
     @property
     def max_nodes(self) -> int:
@@ -132,7 +139,8 @@ def bart_init(cfg: BartConfig, n_obs: int, dtype=jnp.float64) -> BartState:
         allfit=jnp.zeros(n_obs, dtype=dtype),
         k=jnp.asarray(cfg.k_init, dtype=dtype),
         sigma_mu=jnp.asarray(
-            cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)),
+            cfg.sigma_mu_fixed if cfg.sigma_mu_fixed is not None
+            else cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)),
             dtype=dtype,
         ),
         tree_fit=jnp.zeros((T, n_obs), dtype=dtype),
@@ -190,7 +198,9 @@ def sample_trees_from_prior(cfg: BartConfig, rng, ranks, split_probs,
         allfit=jnp.zeros(n_obs, dtype=dtype),
         k=jnp.asarray(cfg.k_init, dtype=dtype),
         sigma_mu=jnp.asarray(
-            cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)), dtype
+            cfg.sigma_mu_fixed if cfg.sigma_mu_fixed is not None
+            else cfg.node_scale / (cfg.k_init * np.sqrt(cfg.num_trees)),
+            dtype,
         ),
         tree_fit=jnp.zeros((T, n_obs), dtype=dtype),
     )

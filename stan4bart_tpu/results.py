@@ -55,8 +55,10 @@ class Stan4bartFit:
     # resolved prior info (assemble info dict) for prior_summary()
     prior_info: dict | None = None
     # wall-clock phase timings (the reference's warm/sample_delta_t,
-    # interruptable_sampler.hpp:101-102): dict with 'total' and, in chunked
-    # mode, 'warmup'/'sample' seconds
+    # interruptable_sampler.hpp:101-102): dict with 'total' plus
+    # 'warmup'/'sample' seconds — REAL measured per-phase wall clock on
+    # the default (host-chunked) path, pro-rated on the fused
+    # sharded/multihost paths; 'interrupted': True on partial fits
     timings: dict | None = None
     # True once the stored stan draws hold un-rotated betas.  An init field
     # (not init=False) so dataclasses.replace() carries it over and
@@ -792,6 +794,66 @@ class Stan4bartFit:
                         "the posterior may be poorly explored"
                     )
                     break
+
+    def adjudicate_parametric_smc(self, n_particles: int = 1024,
+                                  n_mcmc: int = 8,
+                                  seed: int | None = None) -> dict:
+        """Independent tempered-SMC adjudication of the parametric block.
+
+        Runs ``ops.smc.smc_sample`` (adaptive tempering + HMC moves — a
+        sampler family with no kernel in common with the Gibbs/NUTS fit)
+        on the parametric CONDITIONAL posterior with the BART component
+        fixed at its posterior-mean fit, exposing the adjudication tool
+        used to certify the centered-ranef geometry (docs/
+        interweaving.md) on the public fit surface.  The reference
+        vendors stan/variational+services but exposes no second sampler
+        (SURVEY.md section 2.5).
+
+        Contract: this targets the conditional given the mean BART fit,
+        NOT the marginal parametric posterior — conditional spreads are
+        a lower bound on marginal ones.  Agreement of means within MC
+        error is the check; a gap flags a mixing or implementation
+        problem in the main sampler.  Gaussian family only.
+
+        Returns dict with ``names``, ``draws`` (n_particles, P),
+        ``log_evidence``, ``final_temp`` (1.0 = bridged to the target),
+        and ``mcmc_mean``/``smc_mean`` aligned to ``names``.
+        """
+        if self.is_binary:
+            raise NotImplementedError(
+                "SMC adjudication targets the Gaussian parametric "
+                "conditional; the probit conditional depends on latent "
+                "responses that have no fixed value to condition on"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from stan4bart_tpu.ops.smc import smc_sample
+
+        prog, pm = self.prog, self.pm
+        bart_mean = np.asarray(self.extract("indiv.bart")).mean(axis=-1)
+        offset = prog._stan_offset_from_fit(
+            jnp.asarray(bart_mean, prog.dtype))
+        rng = jax.random.PRNGKey(
+            (self.seed + 0x5AC) if seed is None else int(seed))
+        res = smc_sample(
+            lambda u: pm.log_prob(u, offset, prog.y),
+            pm.num_upars, int(n_particles), rng, n_mcmc=int(n_mcmc),
+            dtype=prog.dtype,
+        )
+        names = pm.constrained_names()
+        draws = np.asarray(jax.vmap(pm.constrained_draw)(res.particles))
+        mcmc = self._slice(self.draws.stan, False)[
+            ..., [self._name_idx[n] for n in names]
+        ].reshape(-1, len(names))
+        return {
+            "names": names,
+            "draws": draws,
+            "log_evidence": float(res.log_evidence),
+            "final_temp": float(res.final_temp),
+            "smc_mean": draws.mean(axis=0),
+            "mcmc_mean": mcmc.mean(axis=0),
+        }
 
     def summary(self, include_diagnostics: bool = True):
         """Per-parameter posterior summary: mean, sd, 5%/95% quantiles,
