@@ -69,6 +69,11 @@ configs = {
                          leaf_gibbs=2),
     "lg+lvl+leaf4": dict(linear_gibbs=True, level_gibbs=True,
                          leaf_gibbs=4),
+    # FULL blocked leaf draw every k iterations (GibbsProgram.leaf_block)
+    "lg+lvl+lb1": dict(linear_gibbs=True, level_gibbs=True, leaf_block=1),
+    "lg+lvl+lb2": dict(linear_gibbs=True, level_gibbs=True, leaf_block=2),
+    "lg+lvl+lb5": dict(linear_gibbs=True, level_gibbs=True, leaf_block=5),
+    "lb1": dict(linear_gibbs=False, level_gibbs=False, leaf_block=1),
 }
 sel = os.environ.get("EXP_CONFIGS")
 if sel:

@@ -56,6 +56,7 @@ prog = GibbsProgram(
     linear_gibbs=os.environ.get("EXP_LG", "1") == "1",
     level_gibbs=os.environ.get("EXP_LVL", "1") == "1",
     leaf_gibbs=int(os.environ.get("EXP_LEAF", "0")),
+    leaf_block=int(os.environ.get("EXP_LB", "0")),
 )
 names = prog.stan_names()
 i_sigma = names.index("aux.1")

@@ -884,3 +884,602 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
         lambda f: count_variable_use(cfg, f, consts.spcum.shape[1])
     )(feature)
     return new_state, varcount
+
+
+# ---------------------------------------------------------------------------
+# Obs-tiled batch kernel: large n beyond the whole-row VMEM ceiling.
+#
+# The kernels above hold (CB, NPAD) whole-observation rows (residual
+# carry, lidx/fit blocks, the (P, NPAD) ranks operand) live per grid
+# step; past NPAD ~ 52k that exceeds Mosaic's 16M scoped-VMEM stack even
+# at CB=1 (measured 56.7M at n=200k — BENCH_NOTES round 3).  This
+# variant tiles the OBSERVATION axis into the grid:
+#
+#   grid = (chain_blocks, T+1, 2, OT)   (trees, phase, obs tile)
+#
+#   pass A (ph=0), per tile: apply the PREVIOUS tree's new fit
+#     (lv_prev @ onehot(lidx_prev tile), both from scratch), roll the
+#     carried residual to this tree's partial residual, and accumulate
+#     the grow/prune/change sufficient statistics; the MH decision runs
+#     once at the last tile.
+#   pass B (ph=1), per tile: apply the accepted move to the leaf
+#     indices, write them out, and accumulate per-node leaf sufficient
+#     statistics over the NEW membership; the conjugate leaf draw runs
+#     once at the last tile.
+#   t = T is a flush pass: applies tree T-1's fit and writes the final
+#     full residual.
+#
+# Only two full-width buffers remain, both VMEM scratch that scales as
+# O(N * CB) with no (128, N) term: the carried residual and the previous
+# tree's updated leaf indices.  Everything else is tile-sized, so n is
+# bounded by HBM, not VMEM.  Outputs whose producer runs in a different
+# phase than their (tree, tile) home use phase-gated index maps with a
+# TRASH row (row T / tile OT): steps that have nothing to write park the
+# window there, keeping every real block's visit sequence contiguous
+# (Mosaic stores an output block when the window leaves it — a
+# non-contiguous revisit would clobber earlier writes with an
+# uninitialized buffer).
+#
+# The move/leaf math is duplicated from _tree_step_math in pass form
+# rather than shared: the single-pass kernel's exact op order encodes
+# measured scheduler behavior (docs/sweep_kernel.md rules 8-9) and is
+# left untouched; tests/test_sweep_kernel.py pins both paths to the XLA
+# sweep on shared variates.
+
+
+def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
+                       ns: int):
+    f32 = jnp.float32
+    T = cfg.num_trees
+    n_cuts = float(cfg.n_cuts)
+    p_grow = float(cfg.p_grow)
+    p_prune = float(cfg.p_prune)
+    max_depth = float(cfg.max_depth)
+    eps = 1e-12
+
+    def kernel(scal_ref, u_ref,
+               feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
+               resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
+               zn_ref,
+               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+               R_s, lidxp_s, prop_s, vone_s, stats_s,
+               featf_s, cutf_s, lvp_s, cnt_s, sum_s):
+        t = pl.program_id(1)
+        ph = pl.program_id(2)
+        ot = pl.program_id(3)
+
+        scal = scal_ref[0]                        # (CB, 2)
+        sigma2 = scal[:, 0:1]
+        tau2 = scal[:, 1:2]
+        u = u_ref[0, 0]                           # (CB, 8)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32,
+                                          (NODE_PAD, NODE_PAD), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32,
+                                          (NODE_PAD, NODE_PAD), 1)
+        iota_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, NODE_PAD), 1).astype(f32)
+        iota_col = jax.lax.broadcasted_iota(jnp.int32, (NODE_PAD, 1), 0)
+
+        # ---------------- pass A ---------------------------------------
+        @pl.when(ph == 0)
+        def _pass_a():
+            # -- proposal + stats reset at the first tile of a real tree
+            @pl.when((ot == 0) & (t < T))
+            def _proposal():
+                featf = feature_ref[0, 0].astype(f32)
+                GL = (iota_r == 2 * iota_c + 1).astype(f32)
+                GR = (iota_r == 2 * iota_c + 2).astype(f32)
+                TRI = (iota_r <= iota_c).astype(f32)
+                fl = jnp.dot(featf, GL, preferred_element_type=f32)
+                fr = jnp.dot(featf, GR, preferred_element_type=f32)
+                is_leaf = (featf == float(LEAF)).astype(f32)
+                is_internal = (featf >= 0.0).astype(f32)
+                is_nog = is_internal * (fl == float(LEAF)).astype(f32) \
+                    * (fr == float(LEAF)).astype(f32)
+                n_leaf = jnp.sum(is_leaf, axis=1, keepdims=True)
+                n_nog = jnp.sum(is_nog, axis=1, keepdims=True)
+
+                one = jnp.ones((cb, 1), f32)
+                u_move = u[:, 0:1]
+                gf = jnp.where(u_move < p_grow, one, 0.0 * one)
+                pf = jnp.where(
+                    (u_move >= p_grow) & (u_move < p_grow + p_prune),
+                    one, 0.0 * one)
+                cf = 1.0 - gf - pf
+
+                v_new = jnp.minimum(
+                    jnp.sum((spcum_ref[:, :] <= u[:, 3:4]).astype(f32),
+                            axis=1, keepdims=True),
+                    float(p_feat - 1))
+                c_new = jnp.minimum(jnp.floor(u[:, 4:5] * n_cuts),
+                                    n_cuts - 1.0)
+                iota_p = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, p_feat), 1).astype(f32)
+                vone = (iota_p == v_new).astype(f32)        # (CB, P)
+
+                def pick(mask_f, count, uu):
+                    target = jnp.minimum(
+                        jnp.floor(uu * count),
+                        jnp.maximum(count - 1.0, 0.0))
+                    csum = jnp.dot(mask_f, TRI,
+                                   preferred_element_type=f32)
+                    return jnp.sum((csum <= target).astype(f32),
+                                   axis=1, keepdims=True)
+
+                eta_grow = pick(is_leaf, n_leaf, u[:, 1:2])
+                eta_pc = pick(is_nog, jnp.maximum(n_nog, 1.0), u[:, 2:3])
+                eta = gf * eta_grow + (1.0 - gf) * eta_pc
+                lft = jnp.minimum(2.0 * eta + 1.0, float(NODE_PAD - 1))
+                rgt = jnp.minimum(2.0 * eta + 2.0, float(NODE_PAD - 1))
+
+                d_eta = (iota_row == eta).astype(f32)
+                d = jnp.sum(depths_ref[:, :] * d_eta, axis=1,
+                            keepdims=True)
+                dd = jnp.minimum(d + 1.0, max_depth + 1.0)
+                ps_d = jnp.sum(psplit_ref[:, :]
+                               * (iota_row == d).astype(f32),
+                               axis=1, keepdims=True)
+                ps_d1 = jnp.sum(psplit_ref[:, :]
+                                * (iota_row == dd).astype(f32),
+                                axis=1, keepdims=True)
+                split_term = (jnp.log(jnp.maximum(ps_d, eps))
+                              + 2.0 * jnp.log1p(-ps_d1)
+                              - jnp.log1p(-jnp.minimum(ps_d, 1.0 - eps)))
+                parent = jnp.maximum(jnp.floor((eta - 1.0) / 2.0), 0.0)
+                d_par = (iota_row == parent).astype(f32)
+                parent_was_nog = jnp.sum(is_nog * d_par, axis=1,
+                                         keepdims=True) \
+                    * (eta > 0.0).astype(f32)
+                n_nog_grow = jnp.maximum(n_nog + 1.0 - parent_was_nog,
+                                         1.0)
+                ltg = (np.log(p_prune) - np.log(p_grow)
+                       + jnp.log(jnp.maximum(n_leaf, 1.0))
+                       - jnp.log(n_nog_grow))
+                ltp = (np.log(p_grow) - np.log(p_prune)
+                       + jnp.log(jnp.maximum(n_nog, 1.0))
+                       - jnp.log(jnp.maximum(n_leaf - 1.0, 1.0)))
+
+                prop_s[:, 0:1] = eta
+                prop_s[:, 1:2] = lft
+                prop_s[:, 2:3] = rgt
+                prop_s[:, 3:4] = gf
+                prop_s[:, 4:5] = pf
+                prop_s[:, 5:6] = cf
+                prop_s[:, 6:7] = c_new
+                prop_s[:, 7:8] = split_term
+                prop_s[:, 8:9] = ltg
+                prop_s[:, 9:10] = ltp
+                prop_s[:, 10:11] = n_nog
+                prop_s[:, 11:12] = d
+                vone_s[:, :] = jnp.pad(
+                    vone, ((0, 0), (0, NODE_PAD - p_feat)))
+                stats_s[:, :] = jnp.zeros((cb, NODE_PAD), f32)
+
+            # -- first-tree init: the fit/residual carry scratches are
+            #    uninitialized VMEM; zero them before any blend touches
+            #    them (0 * NaN would poison the arithmetic blending)
+            @pl.when((t == 0) & (ot == 0))
+            def _init_rows():
+                lvp_s[:, :] = jnp.zeros((cb, NODE_PAD), f32)
+
+            @pl.when(t == 0)
+            def _init_tile():
+                R_s[ot] = jnp.zeros((cb, ns), f32)
+                lidxp_s[ot] = jnp.full((cb, ns), NODE_PAD - 1,
+                                       jnp.int32)
+
+            # -- residual roll: apply tree t-1's new fit, add tree t's
+            #    old fit (pass A runs for EVERY t incl. the t = T flush)
+            tfit_tile = tfit_ref[0, 0, :, 0, :]           # (CB, NS)
+            in_flush = (t == T).astype(jnp.int32)
+            first_tree = (t == 0).astype(jnp.int32)
+
+            r_prev = R_s[ot]                              # (CB, NS)
+            resid0_tile = resid0_ref[0, :, 0, :]
+            # previous tree's new fit on this tile (lv_prev, lidx_prev
+            # from scratch); per-chain one-hot, one live at a time
+            lidxp_tile = lidxp_s[ot]                      # (CB, NS) int32
+            fit_rows = []
+            for j in range(cb):
+                lidx_j = lidxp_tile[j:j + 1, :]
+                if j > 0:
+                    dep = (fit_rows[-1][0:1, 0:1] * 0.0).astype(jnp.int32)
+                    lidx_j = lidx_j + dep
+                Mm_j = (iota_col == lidx_j).astype(f32)
+                fit_rows.append(jnp.dot(lvp_s[j:j + 1, :], Mm_j,
+                                        preferred_element_type=f32))
+            fit_prev = (fit_rows[0] if cb == 1
+                        else jnp.concatenate(fit_rows, axis=0))
+
+            ft = f32(1.0) * first_tree.astype(f32)
+            fl_ = f32(1.0) * in_flush.astype(f32)
+            # full residual after trees < t: resid0 at t=0, else carried
+            full_res = ft * resid0_tile + (1.0 - ft) * (r_prev - fit_prev)
+            # partial residual for tree t (flush: stays the full residual)
+            r_t = full_res + (1.0 - fl_) * tfit_tile
+            R_s[ot] = r_t
+            # row t-1 (trash at t = 0)
+            tfit_o[0, 0, :, 0, :] = fit_prev
+            resid_o[0, :, 0, :] = full_res   # real home only at t = T
+
+            # -- move sufficient statistics over this tile -------------
+            @pl.when(t < T)
+            def _stats():
+                eta = prop_s[:, 0:1]
+                lft = prop_s[:, 1:2]
+                rgt = prop_s[:, 2:3]
+                gf = prop_s[:, 3:4]
+                c_new = prop_s[:, 6:7]
+                lidx_tile = lidx_ref[0, 0, :, 0, :]      # (CB, NS)
+                lidx_f = lidx_tile.astype(f32)
+                rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[:, 0, :],
+                                 preferred_element_type=f32)
+                gl = (rank_v <= c_new).astype(f32)
+                me = (lidx_f == eta).astype(f32)
+                ml = (lidx_f == lft).astype(f32)
+                mr = (lidx_f == rgt).astype(f32)
+                members = gf * me + (1.0 - gf) * (ml + mr)
+                mln = members * gl
+                stats_s[:, 0:1] = stats_s[:, 0:1] + jnp.sum(
+                    members, axis=1, keepdims=True)
+                stats_s[:, 1:2] = stats_s[:, 1:2] + jnp.sum(
+                    members * r_t, axis=1, keepdims=True)
+                stats_s[:, 2:3] = stats_s[:, 2:3] + jnp.sum(
+                    mln, axis=1, keepdims=True)
+                stats_s[:, 3:4] = stats_s[:, 3:4] + jnp.sum(
+                    mln * r_t, axis=1, keepdims=True)
+                stats_s[:, 4:5] = stats_s[:, 4:5] + jnp.sum(
+                    ml, axis=1, keepdims=True)
+                stats_s[:, 5:6] = stats_s[:, 5:6] + jnp.sum(
+                    ml * r_t, axis=1, keepdims=True)
+
+            # -- decision at the last tile ------------------------------
+            @pl.when((ot == nt - 1) & (t < T))
+            def _decide():
+                featf = feature_ref[0, 0].astype(f32)
+                cutf = cut_ref[0, 0].astype(f32)
+                eta = prop_s[:, 0:1]
+                lft = prop_s[:, 1:2]
+                rgt = prop_s[:, 2:3]
+                gf = prop_s[:, 3:4]
+                pf = prop_s[:, 4:5]
+                cf = prop_s[:, 5:6]
+                c_new = prop_s[:, 6:7]
+                split_term = prop_s[:, 7:8]
+                ltg = prop_s[:, 8:9]
+                ltp = prop_s[:, 9:10]
+                n_nog = prop_s[:, 10:11]
+                d = prop_s[:, 11:12]
+                n_all = stats_s[:, 0:1]
+                s_all = stats_s[:, 1:2]
+                n_ln = stats_s[:, 2:3]
+                s_ln = stats_s[:, 3:4]
+                n_lo = stats_s[:, 4:5]
+                s_lo = stats_s[:, 5:6]
+                n_rn = n_all - n_ln
+                s_rn = s_all - s_ln
+                n_ro = n_all - n_lo
+                s_ro = s_all - s_lo
+
+                def marg(n, s):
+                    denom = sigma2 + n * tau2
+                    return (0.5 * jnp.log(sigma2 / denom)
+                            + tau2 * s * s / (2.0 * sigma2 * denom))
+
+                m_all = marg(n_all, s_all)
+                m_ln = marg(n_ln, s_ln)
+                m_rn = marg(n_rn, s_rn)
+                m_lo = marg(n_lo, s_lo)
+                m_ro = marg(n_ro, s_ro)
+                la_grow = split_term + ltg + (m_ln + m_rn - m_all)
+                la_prune = -split_term + ltp + (m_all - m_lo - m_ro)
+                la_change = m_ln + m_rn - m_lo - m_ro
+                log_accept = (gf * la_grow + pf * la_prune
+                              + cf * la_change)
+                valid_grow = ((d < max_depth).astype(f32)
+                              * (n_ln > 0.0).astype(f32)
+                              * (n_rn > 0.0).astype(f32))
+                valid_prune = (n_nog > 0.0).astype(f32)
+                valid_change = (valid_prune
+                                * (n_ln > 0.0).astype(f32)
+                                * (n_rn > 0.0).astype(f32))
+                valid = gf * valid_grow + pf * valid_prune \
+                    + cf * valid_change
+                log_u = jnp.log(jnp.maximum(u[:, 5:6], 1e-30))
+                acc = valid * (log_u < log_accept).astype(f32)
+
+                v_new = jnp.sum(
+                    vone_s[:, :] * iota_row, axis=1, keepdims=True)
+                d_eta = (iota_row == eta).astype(f32)
+                d_lft = (iota_row == lft).astype(f32)
+                d_rgt = (iota_row == rgt).astype(f32)
+                f_eta_new = pf * float(LEAF) + (1.0 - pf) * v_new
+                f_child_new = (pf * float(INACTIVE)
+                               + (1.0 - pf) * float(LEAF))
+                new_feat = (featf * (1.0 - d_eta - d_lft - d_rgt)
+                            + f_eta_new * d_eta
+                            + f_child_new * (d_lft + d_rgt))
+                c_eta_cur = jnp.sum(cutf * d_eta, axis=1, keepdims=True)
+                c_eta_new = pf * c_eta_cur + (1.0 - pf) * c_new
+                new_cut = cutf * (1.0 - d_eta) + c_eta_new * d_eta
+                featf_new = acc * new_feat + (1.0 - acc) * featf
+                cutf_new = acc * new_cut + (1.0 - acc) * cutf
+                featf_s[:, :] = featf_new
+                cutf_s[:, :] = cutf_new
+                prop_s[:, 12:13] = acc
+                feature_o[0, 0] = featf_new.astype(jnp.int32)
+                cut_o[0, 0] = cutf_new.astype(jnp.int32)
+
+        # ---------------- pass B ---------------------------------------
+        @pl.when((ph == 1) & (t < T))
+        def _pass_b():
+            @pl.when(ot == 0)
+            def _reset():
+                cnt_s[:, :] = jnp.zeros((cb, NODE_PAD), f32)
+                sum_s[:, :] = jnp.zeros((cb, NODE_PAD), f32)
+
+            eta = prop_s[:, 0:1]
+            lft = prop_s[:, 1:2]
+            rgt = prop_s[:, 2:3]
+            gf = prop_s[:, 3:4]
+            pf = prop_s[:, 4:5]
+            c_new = prop_s[:, 6:7]
+            acc = prop_s[:, 12:13]
+
+            lidx_tile = lidx_ref[0, 0, :, 0, :]
+            lidx_f = lidx_tile.astype(f32)
+            rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[:, 0, :],
+                             preferred_element_type=f32)
+            gl = (rank_v <= c_new).astype(f32)
+            me = (lidx_f == eta).astype(f32)
+            ml = (lidx_f == lft).astype(f32)
+            mr = (lidx_f == rgt).astype(f32)
+            members = gf * me + (1.0 - gf) * (ml + mr)
+            dest = pf * eta + (1.0 - pf) * (gl * lft + (1.0 - gl) * rgt)
+            new_lidx_f = members * dest + (1.0 - members) * lidx_f
+            new_lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
+            new_lidx = new_lidx_f.astype(jnp.int32)
+            lidxp_s[ot] = new_lidx
+            lidx_o[0, 0, :, 0, :] = new_lidx
+
+            r_t = R_s[ot]
+            for j in range(cb):
+                lidx_j = new_lidx[j:j + 1, :]
+                if j > 0:
+                    dep = (cnt_s[0:1, 0:1] * 0.0).astype(jnp.int32)
+                    lidx_j = lidx_j + dep
+                Mm_j = (iota_col == lidx_j).astype(f32)
+                cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
+                    jnp.sum(Mm_j, axis=1, keepdims=True))
+                sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
+                    jnp.sum(Mm_j * r_t[j:j + 1, :], axis=1,
+                            keepdims=True))
+
+            @pl.when(ot == nt - 1)
+            def _leaf_draw():
+                pv = 1.0 / (cnt_s[:, :] / sigma2 + 1.0 / tau2)
+                pm = pv * sum_s[:, :] / sigma2
+                mu = pm + jnp.sqrt(pv) * zn_ref[0, 0]
+                lv = jnp.where(featf_s[:, :] == float(LEAF), mu, 0.0)
+                lvp_s[:, :] = lv
+                lv_o[0, 0] = lv
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_obs", "npad", "cb", "nt", "interpret"),
+)
+def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
+                      resid0, ranks_f, spcum, psplit, depths, u, zn,
+                      scal, n_obs: int, npad: int, cb: int, nt: int,
+                      interpret: bool):
+    T = cfg.num_trees
+    P = ranks_f.shape[0]
+    cblk = featp.shape[0]
+    ns = npad // nt
+    f32 = jnp.float32
+
+    # tile the obs-axis arrays: (CBLK, T, CB, NPAD) -> (..., NT, NS)
+    lidxp4 = lidxp.reshape(cblk, T, cb, nt, ns)
+    tfitp4 = tfitp.reshape(cblk, T, cb, nt, ns)
+    resid04 = resid0.reshape(cblk, cb, nt, ns)
+    ranks3 = ranks_f.reshape(P, nt, ns)
+
+    def tmin(t):
+        return jnp.minimum(t, T - 1)
+
+    row_tree = lambda c, t, ph, ot: (c, tmin(t), 0, 0)       # noqa: E731
+    tile_tree = lambda c, t, ph, ot: (c, tmin(t), 0, ot, 0)  # noqa: E731
+    const2 = lambda c, t, ph, ot: (0, 0)                     # noqa: E731
+
+    kernel = _make_tiled_kernel(cfg, P, cb, nt, ns)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(cblk, T + 1, 2, nt),
+        in_specs=[
+            pl.BlockSpec((1, cb, 2), lambda c, t, ph, ot: (c, 0, 0)),
+            pl.BlockSpec((1, 1, cb, 8), row_tree),                # u
+            pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # feature
+            pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # cut
+            pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # lv
+            pl.BlockSpec((1, 1, cb, 1, ns), tile_tree),           # lidx
+            pl.BlockSpec((1, 1, cb, 1, ns), tile_tree),           # tfit
+            # resid0 is only read at t == 0; park on tile 0 afterwards
+            pl.BlockSpec((1, cb, 1, ns),
+                         lambda c, t, ph, ot: (
+                             c, 0, jnp.where(t == 0, ot, 0), 0)),
+            pl.BlockSpec((P, 1, ns),
+                         lambda c, t, ph, ot: (0, ot, 0)),        # ranks
+            pl.BlockSpec((1, P), const2),                         # spcum
+            pl.BlockSpec((1, NODE_PAD), const2),                  # psplit
+            pl.BlockSpec((1, NODE_PAD), const2),                  # depths
+            pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # zn
+        ],
+        out_specs=[
+            # feature/cut: written during pass A of tree t (trash row T
+            # otherwise); lv during pass B of tree t
+            pl.BlockSpec((1, 1, cb, NODE_PAD),
+                         lambda c, t, ph, ot: (
+                             c, jnp.where((ph == 0) & (t < T), t, T),
+                             0, 0)),
+            pl.BlockSpec((1, 1, cb, NODE_PAD),
+                         lambda c, t, ph, ot: (
+                             c, jnp.where((ph == 0) & (t < T), t, T),
+                             0, 0)),
+            pl.BlockSpec((1, 1, cb, NODE_PAD),
+                         lambda c, t, ph, ot: (
+                             c, jnp.where((ph == 1) & (t < T), t, T),
+                             0, 0)),
+            # lidx: written per tile during pass B of tree t
+            pl.BlockSpec((1, 1, cb, 1, ns),
+                         lambda c, t, ph, ot: (
+                             c, jnp.where((ph == 1) & (t < T), t, T),
+                             0, jnp.where((ph == 1) & (t < T), ot, 0),
+                             0)),
+            # tfit of tree t-1: written per tile during pass A of tree t
+            pl.BlockSpec((1, 1, cb, 1, ns),
+                         lambda c, t, ph, ot: (
+                             c, jnp.where((ph == 0) & (t > 0), t - 1, T),
+                             0, jnp.where((ph == 0) & (t > 0), ot, 0),
+                             0)),
+            # final full residual: written per tile during the flush pass
+            pl.BlockSpec((1, cb, 1, ns),
+                         lambda c, t, ph, ot: (
+                             c, 0,
+                             jnp.where((ph == 0) & (t == T), ot, nt),
+                             0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), f32),
+            jax.ShapeDtypeStruct((cblk, T + 1, cb, nt, ns), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T + 1, cb, nt, ns), f32),
+            jax.ShapeDtypeStruct((cblk, cb, nt + 1, ns), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nt, cb, ns), f32),          # R carry
+            pltpu.VMEM((nt, cb, ns), jnp.int32),    # prev tree's new lidx
+            pltpu.VMEM((cb, NODE_PAD), f32),        # proposal lanes
+            pltpu.VMEM((cb, NODE_PAD), f32),        # vone
+            pltpu.VMEM((cb, NODE_PAD), f32),        # move stats lanes
+            pltpu.VMEM((cb, NODE_PAD), f32),        # featf (post-move)
+            pltpu.VMEM((cb, NODE_PAD), f32),        # cutf (post-move)
+            pltpu.VMEM((cb, NODE_PAD), f32),        # lv_prev
+            pltpu.VMEM((cb, NODE_PAD), f32),        # leaf counts
+            pltpu.VMEM((cb, NODE_PAD), f32),        # leaf sums
+        ],
+        interpret=interpret,
+    )(scal, u, featp, cutp, lvp, lidxp4, tfitp4,
+      resid04, ranks3, spcum, psplit, depths, zn)
+    feato, cuto, lvo, lidxo, tfito, resido = outs
+    return (feato[:, :T, 0], cuto[:, :T, 0], lvo[:, :T, 0],
+            lidxo[:, :T, 0].reshape(cblk, T, cb, npad),
+            tfito[:, :T, 0].reshape(cblk, T, cb, npad),
+            resido[:, :, :nt].reshape(cblk, cb, npad))
+
+
+def bart_sweep_fused_batch_tiled(cfg: BartConfig, state: BartState,
+                                 y_target, consts: SweepConsts, sigma,
+                                 rng, *, chain_block: int = 8,
+                                 variates=None, interpret: bool = False):
+    """Obs-tiled chain-blocked fused sweep (see the tiled-kernel comment
+    block): same semantics and RNG contract as ``bart_sweep_fused_batch``
+    but VMEM-bounded at any n — the only full-width live state is the
+    O(N * CB) residual/lidx scratch pair, so the chain block is capped by
+    ``S4B_SWEEP_TILED_CB_LANES`` (default 1M lanes ~ 8M scratch bytes)
+    instead of the single-pass kernel's 82944."""
+    T, M = cfg.num_trees, cfg.max_nodes
+    N, NPAD = consts.n_obs, consts.npad
+    nt = consts.n_slices
+    f32 = jnp.float32
+    C = state.feature.shape[0]
+    lane_budget = int(os.environ.get("S4B_SWEEP_TILED_CB_LANES",
+                                     "1000000"))
+    cb_cap = max(1, lane_budget // NPAD)
+    cb = _pick_chain_block(C, min(chain_block, cb_cap))
+    cblk = C // cb
+
+    if variates is None:
+        def draw(k):
+            ku, kz = jax.random.split(k)
+            return (jax.random.uniform(ku, (T, 8), dtype=f32),
+                    jax.random.normal(kz, (T, NODE_PAD), dtype=f32))
+
+        u, zn = jax.vmap(draw)(rng)
+    else:
+        u, zn = variates
+
+    def to_blocks(x):
+        return jnp.transpose(
+            x.reshape(cblk, cb, T, x.shape[-1]), (0, 2, 1, 3))
+
+    def from_blocks(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(C, T, x.shape[-1])
+
+    pad_nodes = ((0, 0), (0, 0), (0, NODE_PAD - M))
+    pad_obs = ((0, 0), (0, 0), (0, NPAD - N))
+    featp = to_blocks(jnp.pad(state.feature, pad_nodes,
+                              constant_values=INACTIVE))
+    cutp = to_blocks(jnp.pad(state.cut, pad_nodes))
+    lvp = to_blocks(jnp.pad(state.leaf_value.astype(f32), pad_nodes))
+    lidxp = to_blocks(jnp.pad(state.leaf_idx, pad_obs,
+                              constant_values=NODE_PAD - 1))
+    tfitp = to_blocks(jnp.pad(state.tree_fit.astype(f32), pad_obs))
+    resid0 = jnp.pad((y_target - state.allfit).astype(f32),
+                     ((0, 0), (0, NPAD - N))).reshape(cblk, cb, NPAD)
+    scal = jnp.stack([
+        (sigma * sigma).astype(f32),
+        (state.sigma_mu * state.sigma_mu).astype(f32),
+    ], axis=-1).reshape(cblk, cb, 2)
+    ub = to_blocks(u.astype(f32))
+    znb = to_blocks(zn.astype(f32))
+
+    feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_tiled(
+        cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
+        consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
+        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb, nt=nt,
+        interpret=interpret,
+    )
+
+    dtype = state.allfit.dtype
+    feature = from_blocks(feato)[:, :, :M]
+    cut = from_blocks(cuto)[:, :, :M]
+    leaf_value = from_blocks(lvo)[:, :, :M].astype(dtype)
+    leaf_idx = from_blocks(lidxo)[:, :, :N]
+    tree_fit = from_blocks(tfito)[:, :, :N].astype(dtype)
+    allfit = (y_target.astype(f32)
+              - resido.reshape(C, NPAD)[:, :N]).astype(dtype)
+
+    k = state.k
+    sigma_mu = state.sigma_mu
+    if cfg.k_df > 0:
+        def k_update(rng_c, feature_c, leaf_value_c, k_c, sigma_mu_c):
+            rng_k = jax.random.fold_in(rng_c, 0x6B)
+            is_leaf_all = feature_c == LEAF
+            m = jnp.sum(is_leaf_all.astype(dtype))
+            A = k_c * sigma_mu_c
+            ssq = jnp.sum(jnp.where(is_leaf_all, leaf_value_c, 0.0) ** 2)
+            rate = ssq / (2.0 * A * A)
+            if np.isfinite(cfg.k_scale):
+                rate = rate + 1.0 / (2.0 * cfg.k_scale ** 2)
+            shape = (cfg.k_df + m) / 2.0
+            g = jax.random.gamma(rng_k, shape, dtype=dtype) / rate
+            k_new = jnp.sqrt(g)
+            return k_new, A / k_new
+
+        k, sigma_mu = jax.vmap(k_update)(rng, feature, leaf_value,
+                                         state.k, state.sigma_mu)
+
+    new_state = BartState(
+        feature=feature, cut=cut, leaf_value=leaf_value,
+        leaf_idx=leaf_idx, allfit=allfit, k=k, sigma_mu=sigma_mu,
+        tree_fit=tree_fit,
+    )
+    varcount = jax.vmap(
+        lambda f: count_variable_use(cfg, f, consts.spcum.shape[1])
+    )(feature)
+    return new_state, varcount
