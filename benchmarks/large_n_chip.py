@@ -60,8 +60,10 @@ def main():
             # kernels out of both paths
             linear_gibbs=False, level_gibbs=False,
         )
-        label = "fused-sliced" if sweep_kernel else "xla-scan"
+        label = "xla-scan"
         if sweep_kernel:
+            label = ("fused-tiled" if prog.sweep_tiled
+                     else "fused-sliced")
             print(f"# {label}: n_slices={prog.sweep_consts.n_slices} "
                   f"npad={prog.sweep_consts.npad}", flush=True)
         keys = jax.random.split(jax.random.PRNGKey(0), CHAINS)

@@ -33,6 +33,11 @@ CORES_PER_PROC = 2
 
 
 def worker(pid, nproc, port, outfile):
+    # port == 0 marks the INDEPENDENT control arm: nproc concurrent
+    # processes with NO jax.distributed coupling — separates host
+    # contention (shared memory bus on the CPU proxy) from the
+    # distributed-runtime overhead that would transfer to a real pod
+    indep = port == 0
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=1"
@@ -43,7 +48,7 @@ def worker(pid, nproc, port, outfile):
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    if nproc > 1:
+    if nproc > 1 and not indep:
         jax.distributed.initialize(f"localhost:{port}",
                                    num_processes=nproc, process_id=pid)
 
@@ -66,17 +71,30 @@ def worker(pid, nproc, port, outfile):
     prog = GibbsProgram(pm, BartConfig(num_trees=TREES), mf.y, mf.bart_X,
                         warmup=WARMUP, iterations=ITERS)
 
-    chains = CHAINS_PER_PROC * nproc
-    keys = jax.random.split(jax.random.PRNGKey(7), chains)
+    chains = CHAINS_PER_PROC * (1 if indep else nproc)
+    keys = jax.random.split(jax.random.PRNGKey(7 + (pid if indep else 0)),
+                            chains)
 
-    if nproc > 1:
+    if nproc > 1 and not indep:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from stan4bart_tpu.parallel import multihost
 
+        # build the jitted program ONCE (run_chains_multihost constructs
+        # fresh closures per call, which would put a full recompile
+        # inside the timed second run — measured eff(2) 0.15 from
+        # exactly that artifact)
+        mesh = multihost.global_chain_mesh()
+        sharding = NamedSharding(mesh, P("chains"))
+        global_keys = multihost.make_global(np.asarray(keys), sharding)
+        run_j = jax.jit(jax.vmap(
+            lambda k: prog.run_chain(k, keep_warmup=False),
+            axis_name="chains"))
+
         def run():
-            return multihost.run_chains_multihost(
-                prog, np.asarray(keys), gather_results=True,
-                keep_warmup=False,
-            )
+            with mesh:
+                _, draws = run_j(global_keys)
+            return jax.block_until_ready(multihost.gather(draws))
     else:
         run_j = jax.jit(jax.vmap(
             lambda k: prog.run_chain(k, keep_warmup=False),
@@ -91,8 +109,8 @@ def worker(pid, nproc, port, outfile):
     dt = time.perf_counter() - t0
     draws_s = chains * ITERS / dt
 
-    if pid == 0:
-        with open(outfile, "w") as fh:
+    if pid == 0 or indep:
+        with open(outfile + (f".{pid}" if indep else ""), "w") as fh:
             json.dump({"nproc": nproc, "chains": chains,
                        "iters": ITERS, "wall_s": dt,
                        "draws_per_s": draws_s}, fh)
@@ -133,10 +151,13 @@ def main():
         return
 
     results = {}
-    for nproc in (1, 2):
+    for nproc in (1, 2, "2indep"):
+        indep = nproc == "2indep"
+        np_i = 2 if indep else nproc
         out = f"/tmp/scaling_{nproc}.json"
         for attempt in range(3):  # port-retry on handshake misses
-            codes, logs = spawn(nproc, args.port + 2 * attempt, out)
+            codes, logs = spawn(
+                np_i, 0 if indep else args.port + 2 * attempt, out)
             if all(c == 0 for c in codes):
                 break
         else:
@@ -144,11 +165,27 @@ def main():
         if not all(c == 0 for c in codes):
             print("\n".join(logs))
             raise RuntimeError(f"nproc={nproc} failed: {codes}")
-        results[nproc] = json.load(open(out))
+        if indep:
+            parts = [json.load(open(out + f".{p}")) for p in range(np_i)]
+            results[nproc] = {
+                "nproc": np_i, "independent": True,
+                "chains": sum(p["chains"] for p in parts),
+                "iters": ITERS,
+                "wall_s": max(p["wall_s"] for p in parts),
+                "draws_per_s": sum(p["draws_per_s"] for p in parts),
+            }
+        else:
+            results[nproc] = json.load(open(out))
         print(f"nproc={nproc}: {results[nproc]['draws_per_s']:.1f} "
               "draws/s", flush=True)
 
     eff = results[2]["draws_per_s"] / (2 * results[1]["draws_per_s"])
+    eff_ctl = (results["2indep"]["draws_per_s"]
+               / (2 * results[1]["draws_per_s"]))
+    # distributed overhead isolated from shared-host contention: the
+    # piece that transfers to a real pod (where hosts do not share a
+    # memory bus)
+    eff_dist = eff / max(eff_ctl, 1e-9)
     summary = {
         "harness": "scaling_multiproc",
         "config": {"n": N_OBS, "trees": TREES,
@@ -157,8 +194,13 @@ def main():
                    "backend": "cpu gloo (localhost DCN proxy)"},
         "one_proc": results[1],
         "two_proc": results[2],
-        "efficiency_2proc": round(eff, 4),
-        "north_star": ">= 0.80 at >= 2 hosts (BASELINE.md)",
+        "two_proc_independent_control": results["2indep"],
+        "efficiency_2proc_raw": round(eff, 4),
+        "efficiency_2proc_contention_control": round(eff_ctl, 4),
+        "efficiency_2proc_distributed_only": round(eff_dist, 4),
+        "north_star": ">= 0.80 at >= 2 hosts (BASELINE.md); the "
+                      "distributed_only number is the pod-transferable "
+                      "one (real hosts do not share a memory bus)",
     }
     with open(args.out, "w") as fh:
         json.dump(summary, fh, indent=1)

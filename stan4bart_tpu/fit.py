@@ -430,18 +430,15 @@ def stan4bart(
             or (cores is not None and cores > 1
                 and len(jax.devices()) > 1)
         )
-        # Fused-kernel n ceiling, set from CHIP MEASUREMENT (benchmarks/
-        # large_n_chip.py, BENCH_NOTES round 3): at n=50k/64 chains the
-        # lane-sliced kernel works and is 3.1x the XLA scan (117.5 vs
-        # 367.8 ms/iter) — the old 20k fallback was a hidden 3x cliff.
-        # At n=100k+ the kernel's whole-row (CB, NPAD) buffers exceed
-        # Mosaic's 16M scoped-VMEM stack even at CB=1 (56.7M at 200k)
-        # and the compile hard-fails, so the auto gate stays at the
-        # measured-good NPAD=51840; the XLA scan covers larger n until
-        # the sweep grid is obs-tiled.  S4B_SWEEP_KERNEL_MAX_N overrides.
-        n_ok = mf.bart_X.shape[0] <= int(
-            os.environ.get("S4B_SWEEP_KERNEL_MAX_N", "51840")
-        )
+        # No n ceiling: chip measurement (benchmarks/large_n_chip.py,
+        # BENCH_NOTES round 3) shows the lane-sliced kernel 3.1x the XLA
+        # scan at n=50k (117.5 vs 367.8 ms/iter; the old 20k fallback was
+        # a hidden 3x cliff), and past the single-pass kernel's 51840-obs
+        # scoped-VMEM ceiling the batch driver switches to the obs-tiled
+        # kernel (GibbsProgram.sweep_tiled) whose live VMEM is bounded at
+        # any n.  S4B_SWEEP_KERNEL_MAX_N remains as an escape hatch.
+        n_cap = os.environ.get("S4B_SWEEP_KERNEL_MAX_N")
+        n_ok = n_cap is None or mf.bart_X.shape[0] <= int(n_cap)
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
             and jnp.dtype(dtype) == jnp.float32

@@ -309,6 +309,13 @@ class GibbsProgram:
             self.sweep_interpret = (
                 jax.default_backend() not in ("tpu", "axon")
             )
+            # obs-tiled kernel past the single-pass kernel's whole-row
+            # scoped-VMEM ceiling (measured-good NPAD = 51840; 100k+
+            # hard-fails the Mosaic compile — BENCH_NOTES round 3).
+            # Batch driver only; the per-chain step falls back to the
+            # XLA sweep at this size.
+            self.sweep_tiled = self.sweep_consts.npad > int(
+                os.environ.get("S4B_SWEEP_TILED_MIN_NPAD", "51840"))
 
         self.stepsize_init = float(stepsize_init)
         self.sigma_gibbs = bool(sigma_gibbs) and not self.is_binary
@@ -1009,7 +1016,7 @@ class GibbsProgram:
                 y_target = latents - bart_offset
             else:
                 y_target = self.y - bart_offset
-            if self.sweep_consts is not None:
+            if self.sweep_consts is not None and not self.sweep_tiled:
                 from .ops.bart_sweep_kernel import bart_sweep_fused
 
                 bart_state, varcount = bart_sweep_fused(
@@ -1158,8 +1165,14 @@ class GibbsProgram:
         (nuts, info, vi, bart_state, bart_offset, sigma, rng,
          rng_bart) = pre(states)
 
-        from .ops.bart_sweep_kernel import bart_sweep_fused_batch
+        from .ops.bart_sweep_kernel import (
+            bart_sweep_fused_batch,
+            bart_sweep_fused_batch_tiled,
+        )
 
+        # obs-tiled kernel past the single-pass whole-row VMEM ceiling
+        sweep_fn = (bart_sweep_fused_batch_tiled if self.sweep_tiled
+                    else bart_sweep_fused_batch)
         latents = states.latents
         varcount = None
         for j in range(self.skip_bart):
@@ -1174,7 +1187,7 @@ class GibbsProgram:
                 y_target = latents - bart_offset
             else:
                 y_target = self.y[None, :] - bart_offset
-            bart_state, varcount = bart_sweep_fused_batch(
+            bart_state, varcount = sweep_fn(
                 cfg, bart_state, y_target, self.sweep_consts, sigma,
                 rng_j, chain_block=chain_block,
                 interpret=self.sweep_interpret,

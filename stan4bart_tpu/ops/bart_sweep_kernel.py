@@ -1033,10 +1033,11 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
                     * (eta > 0.0).astype(f32)
                 n_nog_grow = jnp.maximum(n_nog + 1.0 - parent_was_nog,
                                          1.0)
-                ltg = (np.log(p_prune) - np.log(p_grow)
+                # np.log returns a STRONG f64 scalar; keep the stores f32
+                ltg = (np.float32(np.log(p_prune) - np.log(p_grow))
                        + jnp.log(jnp.maximum(n_leaf, 1.0))
                        - jnp.log(n_nog_grow))
-                ltp = (np.log(p_grow) - np.log(p_prune)
+                ltp = (np.float32(np.log(p_grow) - np.log(p_prune))
                        + jnp.log(jnp.maximum(n_nog, 1.0))
                        - jnp.log(jnp.maximum(n_leaf - 1.0, 1.0)))
 
@@ -1071,12 +1072,12 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
 
             # -- residual roll: apply tree t-1's new fit, add tree t's
             #    old fit (pass A runs for EVERY t incl. the t = T flush)
-            tfit_tile = tfit_ref[0, 0, :, 0, :]           # (CB, NS)
+            tfit_tile = tfit_ref[0, 0, 0]                 # (CB, NS)
             in_flush = (t == T).astype(jnp.int32)
             first_tree = (t == 0).astype(jnp.int32)
 
             r_prev = R_s[ot]                              # (CB, NS)
-            resid0_tile = resid0_ref[0, :, 0, :]
+            resid0_tile = resid0_ref[0, 0]
             # previous tree's new fit on this tile (lv_prev, lidx_prev
             # from scratch); per-chain one-hot, one live at a time
             lidxp_tile = lidxp_s[ot]                      # (CB, NS) int32
@@ -1100,8 +1101,8 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
             r_t = full_res + (1.0 - fl_) * tfit_tile
             R_s[ot] = r_t
             # row t-1 (trash at t = 0)
-            tfit_o[0, 0, :, 0, :] = fit_prev
-            resid_o[0, :, 0, :] = full_res   # real home only at t = T
+            tfit_o[0, 0, 0] = fit_prev
+            resid_o[0, 0] = full_res         # real home only at t = T
 
             # -- move sufficient statistics over this tile -------------
             @pl.when(t < T)
@@ -1111,9 +1112,9 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
                 rgt = prop_s[:, 2:3]
                 gf = prop_s[:, 3:4]
                 c_new = prop_s[:, 6:7]
-                lidx_tile = lidx_ref[0, 0, :, 0, :]      # (CB, NS)
+                lidx_tile = lidx_ref[0, 0, 0]            # (CB, NS)
                 lidx_f = lidx_tile.astype(f32)
-                rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[:, 0, :],
+                rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[0],
                                  preferred_element_type=f32)
                 gl = (rank_v <= c_new).astype(f32)
                 me = (lidx_f == eta).astype(f32)
@@ -1227,9 +1228,9 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
             c_new = prop_s[:, 6:7]
             acc = prop_s[:, 12:13]
 
-            lidx_tile = lidx_ref[0, 0, :, 0, :]
+            lidx_tile = lidx_ref[0, 0, 0]
             lidx_f = lidx_tile.astype(f32)
-            rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[:, 0, :],
+            rank_v = jnp.dot(vone_s[:, :p_feat], ranks_ref[0],
                              preferred_element_type=f32)
             gl = (rank_v <= c_new).astype(f32)
             me = (lidx_f == eta).astype(f32)
@@ -1241,7 +1242,7 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
             new_lidx_f = acc * new_lidx_f + (1.0 - acc) * lidx_f
             new_lidx = new_lidx_f.astype(jnp.int32)
             lidxp_s[ot] = new_lidx
-            lidx_o[0, 0, :, 0, :] = new_lidx
+            lidx_o[0, 0, 0] = new_lidx
 
             r_t = R_s[ot]
             for j in range(cb):
@@ -1282,18 +1283,21 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     ns = npad // nt
     f32 = jnp.float32
 
-    # tile the obs-axis arrays: (CBLK, T, CB, NPAD) -> (..., NT, NS)
-    lidxp4 = lidxp.reshape(cblk, T, cb, nt, ns)
-    tfitp4 = tfitp.reshape(cblk, T, cb, nt, ns)
-    resid04 = resid0.reshape(cblk, cb, nt, ns)
-    ranks3 = ranks_f.reshape(P, nt, ns)
+    # tile the obs-axis arrays with the TILE axis ahead of (cb, ns): the
+    # Mosaic block-shape rule needs the last two block dims divisible by
+    # (8, 128) or equal to the array dims, so blocks must be full
+    # (cb, ns) planes indexed by (tree, tile)
+    lidxp4 = lidxp.reshape(cblk, T, cb, nt, ns).swapaxes(2, 3)
+    tfitp4 = tfitp.reshape(cblk, T, cb, nt, ns).swapaxes(2, 3)
+    resid04 = resid0.reshape(cblk, cb, nt, ns).swapaxes(1, 2)
+    ranks3 = jnp.swapaxes(ranks_f.reshape(P, nt, ns), 0, 1)  # (NT, P, NS)
 
     def tmin(t):
         return jnp.minimum(t, T - 1)
 
-    row_tree = lambda c, t, ph, ot: (c, tmin(t), 0, 0)       # noqa: E731
-    tile_tree = lambda c, t, ph, ot: (c, tmin(t), 0, ot, 0)  # noqa: E731
-    const2 = lambda c, t, ph, ot: (0, 0)                     # noqa: E731
+    row_tree = lambda c, t, ph, ot: (c, tmin(t), 0, 0)        # noqa: E731
+    tile_tree = lambda c, t, ph, ot: (c, tmin(t), ot, 0, 0)   # noqa: E731
+    const2 = lambda c, t, ph, ot: (0, 0)                      # noqa: E731
 
     kernel = _make_tiled_kernel(cfg, P, cb, nt, ns)
     outs = pl.pallas_call(
@@ -1305,14 +1309,14 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
             pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # feature
             pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # cut
             pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # lv
-            pl.BlockSpec((1, 1, cb, 1, ns), tile_tree),           # lidx
-            pl.BlockSpec((1, 1, cb, 1, ns), tile_tree),           # tfit
+            pl.BlockSpec((1, 1, 1, cb, ns), tile_tree),           # lidx
+            pl.BlockSpec((1, 1, 1, cb, ns), tile_tree),           # tfit
             # resid0 is only read at t == 0; park on tile 0 afterwards
-            pl.BlockSpec((1, cb, 1, ns),
+            pl.BlockSpec((1, 1, cb, ns),
                          lambda c, t, ph, ot: (
-                             c, 0, jnp.where(t == 0, ot, 0), 0)),
-            pl.BlockSpec((P, 1, ns),
-                         lambda c, t, ph, ot: (0, ot, 0)),        # ranks
+                             c, jnp.where(t == 0, ot, 0), 0, 0)),
+            pl.BlockSpec((1, P, ns),
+                         lambda c, t, ph, ot: (ot, 0, 0)),        # ranks
             pl.BlockSpec((1, P), const2),                         # spcum
             pl.BlockSpec((1, NODE_PAD), const2),                  # psplit
             pl.BlockSpec((1, NODE_PAD), const2),                  # depths
@@ -1334,31 +1338,31 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
                              c, jnp.where((ph == 1) & (t < T), t, T),
                              0, 0)),
             # lidx: written per tile during pass B of tree t
-            pl.BlockSpec((1, 1, cb, 1, ns),
+            pl.BlockSpec((1, 1, 1, cb, ns),
                          lambda c, t, ph, ot: (
                              c, jnp.where((ph == 1) & (t < T), t, T),
-                             0, jnp.where((ph == 1) & (t < T), ot, 0),
-                             0)),
+                             jnp.where((ph == 1) & (t < T), ot, 0),
+                             0, 0)),
             # tfit of tree t-1: written per tile during pass A of tree t
-            pl.BlockSpec((1, 1, cb, 1, ns),
+            pl.BlockSpec((1, 1, 1, cb, ns),
                          lambda c, t, ph, ot: (
                              c, jnp.where((ph == 0) & (t > 0), t - 1, T),
-                             0, jnp.where((ph == 0) & (t > 0), ot, 0),
-                             0)),
+                             jnp.where((ph == 0) & (t > 0), ot, 0),
+                             0, 0)),
             # final full residual: written per tile during the flush pass
-            pl.BlockSpec((1, cb, 1, ns),
+            pl.BlockSpec((1, 1, cb, ns),
                          lambda c, t, ph, ot: (
-                             c, 0,
+                             c,
                              jnp.where((ph == 0) & (t == T), ot, nt),
-                             0)),
+                             0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), jnp.int32),
             jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), jnp.int32),
             jax.ShapeDtypeStruct((cblk, T + 1, cb, NODE_PAD), f32),
-            jax.ShapeDtypeStruct((cblk, T + 1, cb, nt, ns), jnp.int32),
-            jax.ShapeDtypeStruct((cblk, T + 1, cb, nt, ns), f32),
-            jax.ShapeDtypeStruct((cblk, cb, nt + 1, ns), f32),
+            jax.ShapeDtypeStruct((cblk, T + 1, nt, cb, ns), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T + 1, nt, cb, ns), f32),
+            jax.ShapeDtypeStruct((cblk, nt + 1, cb, ns), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((nt, cb, ns), f32),          # R carry
@@ -1376,10 +1380,10 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     )(scal, u, featp, cutp, lvp, lidxp4, tfitp4,
       resid04, ranks3, spcum, psplit, depths, zn)
     feato, cuto, lvo, lidxo, tfito, resido = outs
-    return (feato[:, :T, 0], cuto[:, :T, 0], lvo[:, :T, 0],
-            lidxo[:, :T, 0].reshape(cblk, T, cb, npad),
-            tfito[:, :T, 0].reshape(cblk, T, cb, npad),
-            resido[:, :, :nt].reshape(cblk, cb, npad))
+    return (feato[:, :T], cuto[:, :T], lvo[:, :T],
+            lidxo[:, :T].swapaxes(2, 3).reshape(cblk, T, cb, npad),
+            tfito[:, :T].swapaxes(2, 3).reshape(cblk, T, cb, npad),
+            resido[:, :nt].swapaxes(1, 2).reshape(cblk, cb, npad))
 
 
 def bart_sweep_fused_batch_tiled(cfg: BartConfig, state: BartState,

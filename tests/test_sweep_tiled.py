@@ -67,7 +67,8 @@ def test_tiled_sweep_matches_xla_and_batch():
         var = _variates(sub)
         s_xla, vc_xla = jax.vmap(
             lambda st, v0, v1: bart_ops.bart_sweep(
-                cfg, st, y, ranks, split_probs, 0.7,
+                cfg, st, y, ranks, split_probs,
+                jnp.asarray(0.7, jnp.float32),
                 jax.random.PRNGKey(0), variates=(v0, v1)),
         )(s_xla, var[0], var[1])
         s_til, vc_til = bart_sweep_fused_batch_tiled(
