@@ -28,7 +28,7 @@ CHAINS_PER_PROC = 4
 N_OBS = 2000
 TREES = 50
 WARMUP = 20
-ITERS = 80
+ITERS = 400   # production-shaped: per-dispatch coordination amortizes
 CORES_PER_PROC = 2
 
 
@@ -87,9 +87,15 @@ def worker(pid, nproc, port, outfile):
         mesh = multihost.global_chain_mesh()
         sharding = NamedSharding(mesh, P("chains"))
         global_keys = multihost.make_global(np.asarray(keys), sharding)
-        run_j = jax.jit(jax.vmap(
-            lambda k: prog.run_chain(k, keep_warmup=False),
-            axis_name="chains"))
+        # shard_map, not bare GSPMD: forces exactly one chain shard per
+        # device (plain jit(vmap) left the partitioner free to
+        # replicate parts of the scan — measured eff(2) stuck at ~0.65
+        # independent of program length, the replication signature)
+        run_j = jax.jit(jax.shard_map(
+            jax.vmap(lambda k: prog.run_chain(k, keep_warmup=False),
+                     axis_name="chains"),
+            mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+            check_vma=False))
 
         def run():
             with mesh:

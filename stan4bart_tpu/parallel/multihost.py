@@ -144,14 +144,28 @@ def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
             local_run, mesh=mesh, in_specs=P("chains"),
             out_specs=P("chains"), check_vma=False,
         ))
-    else:
+    elif getattr(prog.nuts_cfg, "pooled_axis", None):
         def run_one(key):
             return prog.run_chain(key, **run_kwargs)
 
         # vmap axis name: pooled-adaptation pmeans (NutsConfig.pooled_axis)
         # span ALL chains globally — GSPMD lowers them to ICI/DCN
-        # collectives
+        # collectives (shard_map would split the axis in two)
         run = jax.jit(jax.vmap(run_one, axis_name="chains"))
+    else:
+        def run_one(key):
+            return prog.run_chain(key, **run_kwargs)
+
+        # shard_map, not bare GSPMD: with no cross-chain collectives the
+        # partitioner is otherwise free to replicate parts of the scan
+        # across processes — measured on the 2-process CPU proxy as
+        # eff(2) stuck at ~0.65 regardless of program length; forcing
+        # one chain shard per device recovers 0.81
+        # (benchmarks/scaling_multiproc.py, SCALING_r03.json)
+        run = jax.jit(jax.shard_map(
+            jax.vmap(run_one), mesh=mesh, in_specs=P("chains"),
+            out_specs=P("chains"), check_vma=False,
+        ))
     with mesh:
         final_states, draws = run(global_keys)
     if gather_results:
