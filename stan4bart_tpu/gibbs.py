@@ -161,11 +161,12 @@ class GibbsProgram:
         # too large per iteration, but an exact directional-Gibbs draw
         # along {shift tree t's leaves by c_t * d_t} with random signs
         # d_t[leaf] = Walsh(leaf_index, random mask) mixes the CROSS-TREE
-        # directions the per-tree backfitting conditions away — the
-        # ensemble fit-error relaxation that carries the lp/sigma ESS
-        # floor (BENCH_NOTES round-2: regrow proved structure isn't the
-        # bottleneck; dbarts' per-node conjugate posterior, SURVEY.md
-        # section 2.4, applied jointly).  Directions are computed
+        # directions the per-tree backfitting conditions away (dbarts'
+        # per-node conjugate posterior, SURVEY.md section 2.4, applied
+        # jointly).  MEASURED (BENCH_NOTES round 3): does NOT move the
+        # lp/sigma ESS floor — the slow mode is ensemble-complexity /
+        # structural relaxation, not leaf values — so this stays a
+        # special-purpose opt-in.  Directions are computed
         # ELEMENTWISE from leaf_idx (bit-parity of node & mask: no
         # gathers), and the T x T Gram V V' of the +-1 direction columns
         # is exact at default MXU precision.  0 = off.
@@ -178,7 +179,11 @@ class GibbsProgram:
         # re-mixes the COLLINEAR cross-tree directions (trees fitting
         # overlapping regions) where directional Gibbs mixes at ~1/kappa —
         # the natural completion of dbarts' per-node conjugate posterior
-        # (SURVEY.md section 2.4) applied jointly.  Active leaves are
+        # (SURVEY.md section 2.4) applied jointly.  MEASURED (BENCH_NOTES
+        # round 3): exact and SBC-certified but NOT a perf win — lp stays
+        # flat and the full-rank refresh slows confounded fixef
+        # coordinates by re-randomizing f's X-span overlap every
+        # application — so it ships OPT-IN, like regrow.  Active leaves are
         # compacted to a static ``leaf_block_dim``-dimensional system
         # (Gram via 0/1 one-hot matmuls: exact at integer counts < 2^24;
         # Cholesky on the MXU); when the ensemble's active-leaf count
