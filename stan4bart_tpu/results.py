@@ -794,6 +794,51 @@ class Stan4bartFit:
                         "the posterior may be poorly explored"
                     )
                     break
+        # equilibration check (beyond reference; motivated by a measured
+        # case, BENCH_NOTES round 3: at n=2000 a 300-iteration warmup
+        # left a residual RSS/sigma transient that depressed lp ESS and
+        # biased sigma ~3% — the BART ensemble-complexity relaxation runs
+        # on a hundreds-of-iterations timescale).  A monotone lp trend
+        # ACROSS the sampling phase means warmup ended early: compare
+        # first- and last-quarter means against the MC error of chain
+        # quarters (a loose 6-sigma gate so healthy chains never warn).
+        lp = np.asarray(stan[..., self._name_idx["lp__"]], np.float64)
+        n_it = lp.shape[1]
+        if n_it >= 40:
+            from stan4bart_tpu.parallel.diagnostics import ess as _ess
+
+            q = n_it // 4
+            head = lp[:, :q].mean(axis=1)
+            tail = lp[:, -q:].mean(axis=1)
+            # error scale from the DETRENDED series (a trend would
+            # otherwise inflate its own error estimate), stretched by
+            # the autocorrelation time n/ESS
+            t_idx = np.arange(n_it) - (n_it - 1) / 2.0
+            slope = (lp @ t_idx) / (t_idx @ t_idx)
+            resid = lp - slope[:, None] * t_idx[None, :]
+            resid = resid - resid.mean(axis=1, keepdims=True)
+            zmax, worst = 0.0, 0
+            for c in range(lp.shape[0]):
+                sd = float(np.std(resid[c], ddof=1))
+                if sd == 0.0:
+                    continue
+                ess_c = float(np.asarray(_ess(resid[c][None, :])))
+                tau = n_it / max(ess_c, 1.0)
+                se = sd * np.sqrt(2.0 * tau / q) + 1e-12
+                z = float((tail[c] - head[c]) / se)
+                if abs(z) > abs(zmax):
+                    zmax, worst = z, c
+            if abs(zmax) > 6.0:
+                warnings.warn(
+                    f"chain {worst + 1}'s log-posterior trends "
+                    f"monotonically across the sampling phase (drift "
+                    f"{float(tail[worst] - head[worst]):+.1f}, "
+                    f"{zmax:.1f} SEs): warmup likely ended before the "
+                    "BART ensemble equilibrated — increase warmup (the "
+                    "complexity relaxation runs on a hundreds-of-"
+                    "iterations timescale at large n; BENCH_NOTES "
+                    "round 3)"
+                )
 
     def adjudicate_parametric_smc(self, n_particles: int = 1024,
                                   n_mcmc: int = 8,

@@ -1,6 +1,7 @@
 """split-R-hat / ESS diagnostics (first-class here; vendored-but-unused in
 the reference, SURVEY.md section 5)."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -59,3 +60,33 @@ def test_jittable():
     r1 = float(split_rhat(draws))
     r2 = float(jax.jit(split_rhat)(draws))
     assert abs(r1 - r2) < 1e-9
+
+
+def test_equilibration_warning_fires_and_stays_quiet():
+    """Post-fit lp-trend check (BENCH_NOTES round 3): a fabricated
+    monotone lp drift warns; a stationary fit does not."""
+    import warnings as _warnings
+
+    import stan4bart_tpu as s4b
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    df = friedman_dataframe(generate_friedman_data(100, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                        chains=2, warmup=40, iter=140, seed=3,
+                        verbose=-1, bart_args={"n.trees": 5})
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        fit.check_sampler_diagnostics()
+    # healthy chain: no equilibration warning (divergence warnings from
+    # the deliberately tiny warmup are fine)
+    assert not any("equilibrated" in str(w.message) for w in rec)
+
+    # inject a strong monotone drift into chain 1's stored lp
+    lp_col = fit._name_idx["lp__"]
+    drift = np.linspace(0.0, 300.0, fit.iterations - fit.warmup)
+    fit.draws.stan[0, fit.warmup:, lp_col] += drift
+    with pytest.warns(UserWarning, match="before the BART ensemble"):
+        fit.check_sampler_diagnostics()
