@@ -116,8 +116,18 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs,
             f"(max_nodes {cfg.max_nodes} > {NODE_PAD - 1})"
         )
     if lane_slice is None:
-        lane_slice = int(os.environ.get("S4B_SWEEP_SLICE",
-                                        str(DEFAULT_LANE_SLICE)))
+        env = os.environ.get("S4B_SWEEP_SLICE")
+        if env is not None:
+            lane_slice = int(env)
+        else:
+            # obs-tiled regime (npad > 51840): the (128, NS) one-hot
+            # shares scoped VMEM with two full-width scratches and the
+            # tile blocks — the single-pass default 10368 OOMs the
+            # Mosaic stack at n=200k, 5184 fits with margin (measured,
+            # BENCH_NOTES round 3)
+            n_est = np.asarray(ranks).shape[0]
+            lane_slice = (DEFAULT_LANE_SLICE if n_est <= 51840
+                          else 5184)
     ranks = np.asarray(ranks)
     n, p = ranks.shape
     npad = _ceil_to(max(n, 128), 128)
