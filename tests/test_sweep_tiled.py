@@ -134,3 +134,25 @@ def test_tiled_single_tile_degenerates_to_batch():
                                np.asarray(s_til.allfit),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(vc_bat), np.asarray(vc_til))
+
+
+def test_auto_tile_width_by_regime():
+    """make_sweep_consts picks the single-pass default slice below the
+    tiled regime and the narrower 5184-lane tile above it (the chip
+    config measured at 3.0x the XLA path at n=200k)."""
+    import os
+
+    assert "S4B_SWEEP_SLICE" not in os.environ
+    cfg = BartConfig(num_trees=4)
+    rng = np.random.default_rng(0)
+
+    def consts_for(n):
+        X = rng.normal(size=(n, 2))
+        ranks = bart_ops.compute_ranks(X, bart_ops.make_cut_grid(X, 10))
+        return make_sweep_consts(cfg, ranks, np.full(2, 0.5))
+
+    small = consts_for(2000)
+    assert small.n_slices == 1
+    big = consts_for(52000)     # just past the 51840 single-pass ceiling
+    ns = big.npad // big.n_slices
+    assert ns == 5248 and big.n_slices >= 10   # ceil_to(5184, 128)
