@@ -122,7 +122,7 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
     if sigma_mu_fixed is not None:
         sigma_mu_fixed = float(sigma_mu_fixed)
     # None = auto: on when running on real TPU hardware and the model is
-    # eligible (f32, unweighted, max_depth <= 6); see stan4bart() below
+    # eligible (f32, max_depth <= 6); see stan4bart() below
     sweep_kernel = pop("sweep_kernel", default=None)
     if sweep_kernel is not None:
         sweep_kernel = bool(sweep_kernel)
@@ -151,11 +151,15 @@ def _resolve_bart_args(bart_args: dict | None, is_binary: bool):
         p_regrow=p_regrow, regrow_per_sweep=regrow_per_sweep,
         sigma_mu_fixed=sigma_mu_fixed,
     )
-    if p_regrow > 0 or regrow_per_sweep > 0:
+    if p_regrow > 0:
+        # the in-sweep per-tree form stays XLA-only (it is also the
+        # measured-dead shape — BENCH_NOTES round 2); regrow_per_sweep
+        # composes with the fused kernel as a post-sweep refresh pass
+        # (gibbs.GibbsProgram._maybe_regrow)
         if sweep_kernel:
             warnings.warn(
-                "the regrow kernels force the XLA sweep path "
-                "(the fused sweep kernel does not implement regrow yet)"
+                "p_regrow forces the XLA sweep path (the fused sweep "
+                "kernel composes only with regrow_per_sweep)"
             )
         sweep_kernel = False
     return cfg, split_probs, keep_trees, sweep_kernel
@@ -424,7 +428,6 @@ def stan4bart(
         # multihost) — GSPMD cannot auto-partition a Pallas custom call,
         # so anything forcing the vmapped per-chain driver falls back to
         # the XLA scan sweep when the dispatch spans devices
-        no_weights = mf.weights is None or not len(np.asarray(mf.weights))
         multi_device_dispatch = (
             jax.process_count() > 1
             or (cores is not None and cores > 1
@@ -439,10 +442,11 @@ def stan4bart(
         # any n.  S4B_SWEEP_KERNEL_MAX_N remains as an escape hatch.
         n_cap = os.environ.get("S4B_SWEEP_KERNEL_MAX_N")
         n_ok = n_cap is None or mf.bart_X.shape[0] <= int(n_cap)
+        # weighted likelihoods ride the kernel too (round 4): the
+        # sufficient statistics become (sum w, sum w r) in-kernel
         sweep_kernel = (
             jax.default_backend() in ("tpu", "axon")
             and jnp.dtype(dtype) == jnp.float32
-            and no_weights
             and bart_cfg.max_depth <= 6
             and n_ok
             and (not multi_device_dispatch or sharded_batched_ok)

@@ -540,6 +540,89 @@ def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
             pick(new_leaf_idx, leaf_idx))
 
 
+def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
+                   split_probs, sigma, rng, weights=None):
+    """Random-scan subtree-regrow refreshes on a full forest state: pick
+    a tree uniformly, attempt ONE whole-subtree regrow (exact MH,
+    _subtree_regrow), then redraw its leaves from the conjugate
+    conditional — repeated ``cfg.regrow_per_sweep`` times.  ~1 extra
+    tree-update cost per refresh — the cheap production shape of the
+    regrow kernel (the per-tree p_regrow form costs ~3x the whole
+    sweep), against its measured ~10x faster structure mixing in
+    isolation (tests/test_regrow.py, BENCH_NOTES round-2 regrow
+    experiment).
+
+    Standalone so it composes with BOTH sweep engines: ``bart_sweep``
+    calls it in-line, and the fused Pallas kernel path
+    (gibbs.GibbsProgram._maybe_regrow) runs it as a post-sweep XLA pass
+    on the kernel's output state — a valid Metropolis-within-Gibbs
+    composition either way.  k / sigma_mu are carried through
+    unchanged.  Returns the refreshed BartState.
+    """
+    dtype = state.allfit.dtype
+    sigma2 = (sigma * sigma).astype(dtype)
+    tau2 = (state.sigma_mu * state.sigma_mu).astype(dtype)
+    depths = jnp.asarray(node_depths(cfg))
+    p_split = jnp.asarray(split_prob_by_depth(cfg), dtype=dtype)
+    split_probs = jnp.asarray(split_probs, dtype=dtype)
+    M = cfg.max_nodes
+    w = None if weights is None else jnp.asarray(weights, dtype)
+    cfg_on = cfg._replace(p_regrow=1.0)
+    hi = jax.lax.Precision.HIGHEST
+    t_ids = jnp.arange(cfg.num_trees, dtype=jnp.int32)
+
+    def one_regrow(carry, key):
+        feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
+        kj, kmv, kmu = jax.random.split(key, 3)
+        j = jax.random.randint(kj, (), 0, cfg.num_trees)
+        # row extraction as one-hot matmuls (gathers serialize on
+        # TPU; all values are small ints, exact in f32)
+        oh_j = (t_ids == j).astype(dtype)
+        f_j = jnp.dot(oh_j, feature.astype(dtype),
+                      precision=hi).astype(feature.dtype)
+        c_j = jnp.dot(oh_j, cut.astype(dtype),
+                      precision=hi).astype(cut.dtype)
+        li_j = jnp.dot(oh_j, leaf_idx.astype(dtype),
+                       precision=hi).astype(leaf_idx.dtype)
+        fit_j = jnp.dot(oh_j, tree_fit, precision=hi)
+        resid = y_target - allfit + fit_j
+        wres = resid if w is None else w * resid
+        f2, c2, li2 = _subtree_regrow(
+            cfg_on, (f_j, c_j, li_j), wres, ranks, split_probs,
+            sigma2, tau2, kmv, depths, p_split, dtype,
+            count_weights=w,
+        )
+        onehot_new = node_onehot(li2, M, dtype)
+        counts, sums = leaf_stats(li2, wres, M, count_weights=w,
+                                  onehot=onehot_new)
+        post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
+        post_mean = post_var * sums / sigma2
+        mu = post_mean + jnp.sqrt(post_var) * jax.random.normal(
+            kmu, (M,), dtype)
+        lv2 = jnp.where(f2 == LEAF, mu, 0.0)
+        new_fit = table_lookup(onehot_new, lv2)
+        sel = (t_ids == j)[:, None]
+        carry = (
+            jnp.where(sel, f2[None, :], feature),
+            jnp.where(sel, c2[None, :], cut),
+            jnp.where(sel, lv2[None, :], leaf_value),
+            jnp.where(sel, li2[None, :], leaf_idx),
+            jnp.where(sel, new_fit[None, :], tree_fit),
+            allfit + new_fit - fit_j,
+        )
+        return carry, None
+
+    carry = (state.feature, state.cut, state.leaf_value, state.leaf_idx,
+             state.tree_fit, state.allfit)
+    carry, _ = jax.lax.scan(
+        one_regrow, carry, jax.random.split(rng, cfg.regrow_per_sweep))
+    feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
+    return state._replace(
+        feature=feature, cut=cut, leaf_value=leaf_value,
+        leaf_idx=leaf_idx, tree_fit=tree_fit, allfit=allfit,
+    )
+
+
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
                split_probs, sigma, rng, weights=None, variates=None):
     """One full Gibbs sweep over all trees (the reference's
@@ -643,65 +726,17 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     )
 
     if cfg.regrow_per_sweep > 0 and variates is None:
-        # random-scan subtree-regrow refreshes: pick a tree uniformly,
-        # attempt ONE whole-subtree regrow (exact MH, _subtree_regrow),
-        # then redraw its leaves from the conjugate conditional.  ~1
-        # extra tree-update cost per refresh — the cheap production
-        # shape of the regrow kernel (the per-tree p_regrow form costs
-        # ~3x the whole sweep), against its measured ~10x faster
-        # structure mixing in isolation (tests/test_regrow.py,
-        # BENCH_NOTES round-2 regrow experiment).
-        cfg_on = cfg._replace(p_regrow=1.0)
-        hi = jax.lax.Precision.HIGHEST
-        t_ids = jnp.arange(cfg.num_trees, dtype=jnp.int32)
-
-        def one_regrow(carry, key):
-            feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
-            kj, kmv, kmu = jax.random.split(key, 3)
-            j = jax.random.randint(kj, (), 0, cfg.num_trees)
-            # row extraction as one-hot matmuls (gathers serialize on
-            # TPU; all values are small ints, exact in f32)
-            oh_j = (t_ids == j).astype(dtype)
-            f_j = jnp.dot(oh_j, feature.astype(dtype),
-                          precision=hi).astype(feature.dtype)
-            c_j = jnp.dot(oh_j, cut.astype(dtype),
-                          precision=hi).astype(cut.dtype)
-            li_j = jnp.dot(oh_j, leaf_idx.astype(dtype),
-                           precision=hi).astype(leaf_idx.dtype)
-            fit_j = jnp.dot(oh_j, tree_fit, precision=hi)
-            resid = y_target - allfit + fit_j
-            wres = resid if w is None else w * resid
-            f2, c2, li2 = _subtree_regrow(
-                cfg_on, (f_j, c_j, li_j), wres, ranks, split_probs,
-                sigma2, tau2, kmv, depths, p_split, dtype,
-                count_weights=w,
-            )
-            onehot_new = node_onehot(li2, M, dtype)
-            counts, sums = leaf_stats(li2, wres, M, count_weights=w,
-                                      onehot=onehot_new)
-            post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
-            post_mean = post_var * sums / sigma2
-            mu = post_mean + jnp.sqrt(post_var) * jax.random.normal(
-                kmu, (M,), dtype)
-            lv2 = jnp.where(f2 == LEAF, mu, 0.0)
-            new_fit = table_lookup(onehot_new, lv2)
-            sel = (t_ids == j)[:, None]
-            carry = (
-                jnp.where(sel, f2[None, :], feature),
-                jnp.where(sel, c2[None, :], cut),
-                jnp.where(sel, lv2[None, :], leaf_value),
-                jnp.where(sel, li2[None, :], leaf_idx),
-                jnp.where(sel, new_fit[None, :], tree_fit),
-                allfit + new_fit - fit_j,
-            )
-            return carry, None
-
         rng, rng_rg = jax.random.split(rng)
-        carry = (feature, cut, leaf_value, leaf_idx, tree_fit, allfit)
-        carry, _ = jax.lax.scan(
-            one_regrow, carry,
-            jax.random.split(rng_rg, cfg.regrow_per_sweep))
-        feature, cut, leaf_value, leaf_idx, tree_fit, allfit = carry
+        tmp = state._replace(
+            feature=feature, cut=cut, leaf_value=leaf_value,
+            leaf_idx=leaf_idx, tree_fit=tree_fit, allfit=allfit,
+        )
+        tmp = regrow_refresh(cfg, tmp, y_target, ranks, split_probs,
+                             sigma, rng_rg, weights=weights)
+        feature, cut, leaf_value, leaf_idx, tree_fit, allfit = (
+            tmp.feature, tmp.cut, tmp.leaf_value, tmp.leaf_idx,
+            tmp.tree_fit, tmp.allfit,
+        )
 
     # optional chi(df, scale) hyperprior draw for k (dbarts normal-prior
     # hyperprior; SURVEY.md section 2.4)

@@ -51,7 +51,11 @@ Padded observations (N..NPAD) carry ``leaf_idx = 127`` — a heap slot
 that can never be a real leaf (``max_nodes`` <= 127 for ``max_depth``
 <= 6) — and residual 0, so they fall through every mask and statistic.
 
-Weighted likelihoods fall back to the XLA path (gibbs.py gates this).
+Weighted likelihoods (y_i ~ N(f_i, sigma^2 / w_i), dbarts'
+data.bart@weights semantics) ride the kernel too: pass ``weights=`` and
+every sufficient statistic becomes (sum w, sum w r) — an extra (1, NPAD)
+lane row input, only wired in when weighted so the unweighted op
+sequence is untouched.
 """
 
 from __future__ import annotations
@@ -154,13 +158,20 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
                     featf, cutf, lidx, r,
                     sigma2, tau2, u_move, u_leaf, u_nog, u_var, u_cut,
                     u_acc, zn, ranks, spcum, psplit_row, depths_row,
-                    n_slices: int = 1):
+                    n_slices: int = 1, wrow=None):
     """One grow/prune/change MH step + conjugate leaf draws, vectorized
     over a leading chain dimension CB (CB = 1 for the vmapped per-chain
     kernel, CB = chain_block for the batch kernel).
 
     featf/cutf: (CB, 128) f32; lidx: (CB, NPAD) int32; r: (CB, NPAD)
     partial residual; sigma2/tau2/u_*: scalar or (CB, 1); zn: (CB, 128).
+    wrow: optional (1, NPAD) per-observation likelihood weights (shared
+    across chains; zero on padded lanes) — every sufficient statistic
+    becomes (sum w, sum w r), the dbarts weighted-sampler semantics the
+    XLA path implements (ops/bart.py:bart_sweep).  ``wrow is None``
+    emits the EXACT unweighted op sequence (rules 8-9 in
+    docs/sweep_kernel.md pin that order to measured scheduler
+    behavior).
     Returns (featf', cutf', lidx_slices, lv_new, fit_slices) — the
     per-observation outputs come back as length-n_slices lists of
     (CB, NS) arrays; the caller writes each slice to its output ref
@@ -265,11 +276,13 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
     if n_slices == 1:
         take = lambda x, s: x                         # noqa: E731
         lidx3, r3, ranks3 = lidx, r, ranks
+        w3 = wrow
     else:
         take = lambda x, s: x[:, s, :]                # noqa: E731
         lidx3 = lidx.reshape(cb, n_slices, ns)
         r3 = r.reshape(cb, n_slices, ns)
         ranks3 = ranks.reshape(ranks.shape[0], n_slices, ns)
+        w3 = None if wrow is None else wrow.reshape(1, n_slices, ns)
 
     def obs_slice(s):
         """Membership masks for lane slice s of the CURRENT tree."""
@@ -292,12 +305,20 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
                                        else obs_slice(s))
         r_s = take(r3, s)
         mln = members_s * gl_s
-        n_all = n_all + jnp.sum(members_s, axis=1, keepdims=True)
-        s_all = s_all + jnp.sum(members_s * r_s, axis=1, keepdims=True)
-        n_ln = n_ln + jnp.sum(mln, axis=1, keepdims=True)
-        s_ln = s_ln + jnp.sum(mln * r_s, axis=1, keepdims=True)
-        n_lo = n_lo + jnp.sum(ml, axis=1, keepdims=True)
-        s_lo = s_lo + jnp.sum(ml * r_s, axis=1, keepdims=True)
+        if w3 is None:
+            # unweighted: counts are the raw masks, sums use r as-is —
+            # the original op sequence, bit-for-bit
+            cm, cmln, cml, wr_s = members_s, mln, ml, r_s
+        else:
+            w_s = take(w3, s)
+            wr_s = w_s * r_s
+            cm, cmln, cml = members_s * w_s, mln * w_s, ml * w_s
+        n_all = n_all + jnp.sum(cm, axis=1, keepdims=True)
+        s_all = s_all + jnp.sum(members_s * wr_s, axis=1, keepdims=True)
+        n_ln = n_ln + jnp.sum(cmln, axis=1, keepdims=True)
+        s_ln = s_ln + jnp.sum(mln * wr_s, axis=1, keepdims=True)
+        n_lo = n_lo + jnp.sum(cml, axis=1, keepdims=True)
+        s_lo = s_lo + jnp.sum(ml * wr_s, axis=1, keepdims=True)
     n_rn = n_all - n_ln
     s_rn = s_all - s_ln
     n_ro = n_all - n_lo
@@ -411,11 +432,19 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
             Mm_js = (iota_col == lidx_js).astype(f32)
             if n_slices == 1:
                 mm_cache.append(Mm_js)
-            counts_j = counts_j + jnp.transpose(
-                jnp.sum(Mm_js, axis=1, keepdims=True))     # (1, 128)
-            sums_j = sums_j + jnp.transpose(
-                jnp.sum(Mm_js * take(r3, s)[j:j + 1, :],
-                        axis=1, keepdims=True))
+            if w3 is None:
+                counts_j = counts_j + jnp.transpose(
+                    jnp.sum(Mm_js, axis=1, keepdims=True))  # (1, 128)
+                sums_j = sums_j + jnp.transpose(
+                    jnp.sum(Mm_js * take(r3, s)[j:j + 1, :],
+                            axis=1, keepdims=True))
+            else:
+                w_s = take(w3, s)
+                counts_j = counts_j + jnp.transpose(
+                    jnp.sum(Mm_js * w_s, axis=1, keepdims=True))
+                sums_j = sums_j + jnp.transpose(
+                    jnp.sum(Mm_js * (w_s * take(r3, s)[j:j + 1, :]),
+                            axis=1, keepdims=True))
         pv_j = 1.0 / (counts_j / sig2[j:j + 1] + 1.0 / tau2r[j:j + 1])
         pm_j = pv_j * sums_j / sig2[j:j + 1]
         mu_j = pm_j + jnp.sqrt(pv_j) * zn[j:j + 1, :]
@@ -448,15 +477,19 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
 
 
 def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
-                 n_slices: int = 1):
+                 n_slices: int = 1, weighted: bool = False):
     f32 = jnp.float32
 
     def kernel(scal_ref, u_ref,
                feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
                resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
-               zn_ref,
-               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
-               resid_s):
+               zn_ref, *rest):
+        if weighted:
+            w_ref, rest = rest[0], rest[1:]
+        else:
+            w_ref = None
+        (feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+         resid_s) = rest
         # user-grid axis 0 = trees (Mosaic's user_grid_indices excludes
         # vmap-batched grid dims, so this is vmap-safe)
         t = pl.program_id(0)
@@ -480,6 +513,7 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
             zn_ref[0], ranks_ref[:, :], spcum_ref[:, :],
             psplit_ref[:, :], depths_ref[:, :],
             n_slices=n_slices,
+            wrow=None if w_ref is None else w_ref[:, :],
         )
 
         feature_o[0] = featf.astype(jnp.int32)
@@ -511,11 +545,13 @@ def _make_kernel(cfg: BartConfig, npad: int, p_feat: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "n_slices", "interpret"),
+    static_argnames=("cfg", "n_obs", "npad", "n_slices", "weighted",
+                     "interpret"),
 )
 def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
-                ranks_f, spcum, psplit, depths, u, zn, scal,
-                n_obs: int, npad: int, n_slices: int, interpret: bool):
+                ranks_f, spcum, psplit, depths, u, zn, scal, wpad,
+                n_obs: int, npad: int, n_slices: int, weighted: bool,
+                interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     f32 = jnp.float32
@@ -527,11 +563,8 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
     row_t = lambda t: (t, 0, 0)       # noqa: E731
     row_0 = lambda t: (0, 0)          # noqa: E731
 
-    kernel = _make_kernel(cfg, npad, P, n_slices)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=[
+    kernel = _make_kernel(cfg, npad, P, n_slices, weighted)
+    in_specs = [
             pl.BlockSpec((1, 2), row_0, memory_space=pltpu.SMEM),     # scal
             pl.BlockSpec((T, 8), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),                    # u
@@ -546,7 +579,13 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
             pl.BlockSpec((1, NODE_PAD), row_0),                       # psplit
             pl.BlockSpec((1, NODE_PAD), row_0),                       # depths
             pl.BlockSpec((1, 1, NODE_PAD), row_t),                    # zn
-        ],
+    ]
+    if weighted:
+        in_specs.append(pl.BlockSpec((1, npad), row_0))               # w
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, NODE_PAD), row_t),
             pl.BlockSpec((1, 1, NODE_PAD), row_t),
@@ -566,7 +605,8 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
         scratch_shapes=[pltpu.VMEM((1, npad), f32)],
         interpret=interpret,
     )(scal, u, tree3(featp), tree3(cutp), tree3(lvp), tree3(lidxp),
-      tree3(tfitp), resid0, ranks_f, spcum, psplit, depths, tree3(zn))
+      tree3(tfitp), resid0, ranks_f, spcum, psplit, depths, tree3(zn),
+      *((wpad,) if weighted else ()))
     feato, cuto, lvo, lidxo, tfito, resido = outs
     return (feato[:, 0], cuto[:, 0], lvo[:, 0], lidxo[:, 0], tfito[:, 0],
             resido)
@@ -574,11 +614,14 @@ def _sweep_call(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp, resid0,
 
 def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
                      consts: SweepConsts, sigma, rng, *,
-                     variates=None, interpret: bool = False):
+                     weights=None, variates=None,
+                     interpret: bool = False):
     """One full Gibbs sweep over all trees in a single fused kernel.
 
-    Drop-in for ops/bart.py:bart_sweep (unweighted likelihoods; the
-    caller gates on ``weights is None``).  Returns ``(state, varcount)``.
+    Drop-in for ops/bart.py:bart_sweep.  Returns ``(state, varcount)``.
+    weights: optional (N,) per-observation likelihood weights — the
+    dbarts weighted-sampler semantics (sum w, sum w r) in every
+    sufficient statistic, matching the XLA path exactly.
 
     variates: optional pre-drawn ``(u (T, 8), zn (T, 128))`` for
     same-randomness comparison against the XLA path.
@@ -607,11 +650,16 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
     scal = jnp.stack([(sigma * sigma).astype(f32),
                       (state.sigma_mu * state.sigma_mu).astype(f32)]
                      )[None, :]
+    weighted = weights is not None
+    wpad = (jnp.zeros((1, 128), f32) if not weighted
+            else jnp.pad(jnp.asarray(weights, f32)[None, :],
+                         ((0, 0), (0, NPAD - N))))
 
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
-        u, zn, scal, n_obs=N, npad=NPAD, n_slices=consts.n_slices,
+        u, zn, scal, wpad, n_obs=N, npad=NPAD,
+        n_slices=consts.n_slices, weighted=weighted,
         interpret=interpret,
     )
 
@@ -651,15 +699,19 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
 
 
 def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
-                       n_slices: int = 1):
+                       n_slices: int = 1, weighted: bool = False):
     f32 = jnp.float32
 
     def kernel(scal_ref, u_ref,
                feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
                resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
-               zn_ref,
-               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
-               resid_s):
+               zn_ref, *rest):
+        if weighted:
+            w_ref, rest = rest[0], rest[1:]
+        else:
+            w_ref = None
+        (feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+         resid_s) = rest
         # grid = (chain_blocks, trees); trees iterate fastest
         t = pl.program_id(1)
 
@@ -683,6 +735,7 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
             zn_ref[0, 0], ranks_ref[:, :], spcum_ref[:, :],
             psplit_ref[:, :], depths_ref[:, :],
             n_slices=n_slices,
+            wrow=None if w_ref is None else w_ref[:, :],
         )
 
         feature_o[0, 0] = featf.astype(jnp.int32)
@@ -713,12 +766,12 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_obs", "npad", "cb", "n_slices",
-                     "interpret"),
+                     "weighted", "interpret"),
 )
 def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
                       resid0, ranks_f, spcum, psplit, depths, u, zn,
-                      scal, n_obs: int, npad: int, cb: int,
-                      n_slices: int, interpret: bool):
+                      scal, wpad, n_obs: int, npad: int, cb: int,
+                      n_slices: int, weighted: bool, interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     cblk = featp.shape[0]
@@ -728,11 +781,8 @@ def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     chain3 = lambda c, t: (c, 0, 0)     # noqa: E731
     const2 = lambda c, t: (0, 0)        # noqa: E731
 
-    kernel = _make_batch_kernel(cfg, npad, P, cb, n_slices)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(cblk, T),
-        in_specs=[
+    kernel = _make_batch_kernel(cfg, npad, P, cb, n_slices, weighted)
+    in_specs = [
             pl.BlockSpec((1, cb, 2), chain3),                    # scal
             pl.BlockSpec((1, 1, cb, 8), tree4),                  # u
             pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # feature
@@ -746,7 +796,13 @@ def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
             pl.BlockSpec((1, NODE_PAD), const2),                 # psplit
             pl.BlockSpec((1, NODE_PAD), const2),                 # depths
             pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # zn
-        ],
+    ]
+    if weighted:
+        in_specs.append(pl.BlockSpec((1, npad), const2))         # w
+    outs = pl.pallas_call(
+        kernel,
+        grid=(cblk, T),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
             pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
@@ -766,7 +822,8 @@ def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
         scratch_shapes=[pltpu.VMEM((cb, npad), f32)],
         interpret=interpret,
     )(scal, u, featp, cutp, lvp, lidxp, tfitp, resid0,
-      ranks_f, spcum, psplit, depths, zn)
+      ranks_f, spcum, psplit, depths, zn,
+      *((wpad,) if weighted else ()))
     return outs
 
 
@@ -779,8 +836,8 @@ def _pick_chain_block(n_chains: int, chain_block: int) -> int:
 
 def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
                            consts: SweepConsts, sigma, rng, *,
-                           chain_block: int = 8, variates=None,
-                           interpret: bool = False):
+                           chain_block: int = 8, weights=None,
+                           variates=None, interpret: bool = False):
     """Chain-blocked fused sweep over a BATCHED BartState (leading chain
     axis): grid = (chains/CB, trees), CB chains per grid step.
 
@@ -848,12 +905,17 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
     ], axis=-1).reshape(cblk, cb, 2)
     ub = to_blocks(u.astype(f32))
     znb = to_blocks(zn.astype(f32))
+    weighted = weights is not None
+    wpad = (jnp.zeros((1, 128), f32) if not weighted
+            else jnp.pad(jnp.asarray(weights, f32)[None, :],
+                         ((0, 0), (0, NPAD - N))))
 
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_batch(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
-        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb,
-        n_slices=consts.n_slices, interpret=interpret,
+        ub, znb, scal, wpad, n_obs=N, npad=NPAD, cb=cb,
+        n_slices=consts.n_slices, weighted=weighted,
+        interpret=interpret,
     )
 
     dtype = state.allfit.dtype
@@ -938,7 +1000,7 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
 
 
 def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
-                       ns: int):
+                       ns: int, weighted: bool = False):
     f32 = jnp.float32
     T = cfg.num_trees
     n_cuts = float(cfg.n_cuts)
@@ -950,10 +1012,14 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
     def kernel(scal_ref, u_ref,
                feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
                resid0_ref, ranks_ref, spcum_ref, psplit_ref, depths_ref,
-               zn_ref,
-               feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
-               R_s, lidxp_s, prop_s, vone_s, stats_s,
-               featf_s, cutf_s, lvp_s, cnt_s, sum_s):
+               zn_ref, *rest):
+        if weighted:
+            w_ref, rest = rest[0], rest[1:]
+        else:
+            w_ref = None
+        (feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
+         R_s, lidxp_s, prop_s, vone_s, stats_s,
+         featf_s, cutf_s, lvp_s, cnt_s, sum_s) = rest
         t = pl.program_id(1)
         ph = pl.program_id(2)
         ot = pl.program_id(3)
@@ -1132,18 +1198,27 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
                 mr = (lidx_f == rgt).astype(f32)
                 members = gf * me + (1.0 - gf) * (ml + mr)
                 mln = members * gl
+                if weighted:
+                    # weighted sufficient statistics (sum w, sum w r);
+                    # the unweighted branch keeps the original ops
+                    w_t = w_ref[0]                       # (1, NS)
+                    wr_t = w_t * r_t
+                    cm, cmln, cml = members * w_t, mln * w_t, ml * w_t
+                else:
+                    wr_t = r_t
+                    cm, cmln, cml = members, mln, ml
                 stats_s[:, 0:1] = stats_s[:, 0:1] + jnp.sum(
-                    members, axis=1, keepdims=True)
+                    cm, axis=1, keepdims=True)
                 stats_s[:, 1:2] = stats_s[:, 1:2] + jnp.sum(
-                    members * r_t, axis=1, keepdims=True)
+                    members * wr_t, axis=1, keepdims=True)
                 stats_s[:, 2:3] = stats_s[:, 2:3] + jnp.sum(
-                    mln, axis=1, keepdims=True)
+                    cmln, axis=1, keepdims=True)
                 stats_s[:, 3:4] = stats_s[:, 3:4] + jnp.sum(
-                    mln * r_t, axis=1, keepdims=True)
+                    mln * wr_t, axis=1, keepdims=True)
                 stats_s[:, 4:5] = stats_s[:, 4:5] + jnp.sum(
-                    ml, axis=1, keepdims=True)
+                    cml, axis=1, keepdims=True)
                 stats_s[:, 5:6] = stats_s[:, 5:6] + jnp.sum(
-                    ml * r_t, axis=1, keepdims=True)
+                    ml * wr_t, axis=1, keepdims=True)
 
             # -- decision at the last tile ------------------------------
             @pl.when((ot == nt - 1) & (t < T))
@@ -1261,11 +1336,19 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
                     dep = (cnt_s[0:1, 0:1] * 0.0).astype(jnp.int32)
                     lidx_j = lidx_j + dep
                 Mm_j = (iota_col == lidx_j).astype(f32)
-                cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
-                    jnp.sum(Mm_j, axis=1, keepdims=True))
-                sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
-                    jnp.sum(Mm_j * r_t[j:j + 1, :], axis=1,
-                            keepdims=True))
+                if weighted:
+                    w_t = w_ref[0]
+                    cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
+                        jnp.sum(Mm_j * w_t, axis=1, keepdims=True))
+                    sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
+                        jnp.sum(Mm_j * (w_t * r_t[j:j + 1, :]), axis=1,
+                                keepdims=True))
+                else:
+                    cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
+                        jnp.sum(Mm_j, axis=1, keepdims=True))
+                    sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
+                        jnp.sum(Mm_j * r_t[j:j + 1, :], axis=1,
+                                keepdims=True))
 
             @pl.when(ot == nt - 1)
             def _leaf_draw():
@@ -1281,12 +1364,13 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_obs", "npad", "cb", "nt", "interpret"),
+    static_argnames=("cfg", "n_obs", "npad", "cb", "nt", "weighted",
+                     "interpret"),
 )
 def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
                       resid0, ranks_f, spcum, psplit, depths, u, zn,
-                      scal, n_obs: int, npad: int, cb: int, nt: int,
-                      interpret: bool):
+                      scal, wpad, n_obs: int, npad: int, cb: int,
+                      nt: int, weighted: bool, interpret: bool):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     cblk = featp.shape[0]
@@ -1309,11 +1393,8 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     tile_tree = lambda c, t, ph, ot: (c, tmin(t), ot, 0, 0)   # noqa: E731
     const2 = lambda c, t, ph, ot: (0, 0)                      # noqa: E731
 
-    kernel = _make_tiled_kernel(cfg, P, cb, nt, ns)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(cblk, T + 1, 2, nt),
-        in_specs=[
+    kernel = _make_tiled_kernel(cfg, P, cb, nt, ns, weighted)
+    in_specs = [
             pl.BlockSpec((1, cb, 2), lambda c, t, ph, ot: (c, 0, 0)),
             pl.BlockSpec((1, 1, cb, 8), row_tree),                # u
             pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # feature
@@ -1331,7 +1412,14 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
             pl.BlockSpec((1, NODE_PAD), const2),                  # psplit
             pl.BlockSpec((1, NODE_PAD), const2),                  # depths
             pl.BlockSpec((1, 1, cb, NODE_PAD), row_tree),         # zn
-        ],
+    ]
+    if weighted:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, ns), lambda c, t, ph, ot: (ot, 0, 0)))         # w
+    outs = pl.pallas_call(
+        kernel,
+        grid=(cblk, T + 1, 2, nt),
+        in_specs=in_specs,
         out_specs=[
             # feature/cut: written during pass A of tree t (trash row T
             # otherwise); lv during pass B of tree t
@@ -1388,7 +1476,8 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
         ],
         interpret=interpret,
     )(scal, u, featp, cutp, lvp, lidxp4, tfitp4,
-      resid04, ranks3, spcum, psplit, depths, zn)
+      resid04, ranks3, spcum, psplit, depths, zn,
+      *((wpad.reshape(nt, 1, ns),) if weighted else ()))
     feato, cuto, lvo, lidxo, tfito, resido = outs
     return (feato[:, :T], cuto[:, :T], lvo[:, :T],
             lidxo[:, :T].swapaxes(2, 3).reshape(cblk, T, cb, npad),
@@ -1399,7 +1488,8 @@ def _sweep_call_tiled(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
 def bart_sweep_fused_batch_tiled(cfg: BartConfig, state: BartState,
                                  y_target, consts: SweepConsts, sigma,
                                  rng, *, chain_block: int = 8,
-                                 variates=None, interpret: bool = False):
+                                 weights=None, variates=None,
+                                 interpret: bool = False):
     """Obs-tiled chain-blocked fused sweep (see the tiled-kernel comment
     block): same semantics and RNG contract as ``bart_sweep_fused_batch``
     but VMEM-bounded at any n — the only full-width live state is the
@@ -1451,12 +1541,16 @@ def bart_sweep_fused_batch_tiled(cfg: BartConfig, state: BartState,
     ], axis=-1).reshape(cblk, cb, 2)
     ub = to_blocks(u.astype(f32))
     znb = to_blocks(zn.astype(f32))
+    weighted = weights is not None
+    wpad = (jnp.zeros((1, 128), f32) if not weighted
+            else jnp.pad(jnp.asarray(weights, f32)[None, :],
+                         ((0, 0), (0, NPAD - N))))
 
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_tiled(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
-        ub, znb, scal, n_obs=N, npad=NPAD, cb=cb, nt=nt,
-        interpret=interpret,
+        ub, znb, scal, wpad, n_obs=N, npad=NPAD, cb=cb, nt=nt,
+        weighted=weighted, interpret=interpret,
     )
 
     dtype = state.allfit.dtype

@@ -175,7 +175,172 @@ def test_gibbs_program_with_sweep_kernel_runs():
     )
 
 
-def test_gibbs_program_sweep_kernel_rejects_f64_and_weights():
+def test_weighted_fused_sweep_matches_xla_on_same_variates():
+    """Weighted likelihoods in-kernel (round 4): identical forests to
+    the XLA weighted sweep on shared variates — single-pass AND
+    lane-sliced bodies."""
+    cfg, state, y, ranks, split_probs, consts = _setup(seed=9)
+    w = jnp.asarray(
+        np.random.default_rng(5).uniform(0.5, 2.0, N).astype(np.float32))
+    sigma = jnp.asarray(0.7, jnp.float32)
+    consts_sliced = make_sweep_consts(cfg, np.asarray(ranks),
+                                      np.asarray(split_probs),
+                                      lane_slice=128)
+    assert consts_sliced.n_slices > 1
+    key = jax.random.PRNGKey(17)
+    s_xla = s_ker = s_sli = state
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        var = _draw_variates(sub)
+        s_xla, vc_xla = bart_ops.bart_sweep(
+            cfg, s_xla, y, ranks, split_probs, sigma,
+            jax.random.PRNGKey(0), weights=w, variates=var,
+        )
+        s_ker, vc_ker = bart_sweep_fused(
+            cfg, s_ker, y, consts, sigma, jax.random.PRNGKey(0),
+            weights=w, variates=var, interpret=True,
+        )
+        s_sli, vc_sli = bart_sweep_fused(
+            cfg, s_sli, y, consts_sliced, sigma, jax.random.PRNGKey(0),
+            weights=w, variates=var, interpret=True,
+        )
+        for s_k, vc_k, tag in ((s_ker, vc_ker, "single-pass"),
+                               (s_sli, vc_sli, "sliced")):
+            np.testing.assert_array_equal(
+                np.asarray(s_xla.feature), np.asarray(s_k.feature),
+                err_msg=f"weighted sweep {i} ({tag}): structures "
+                        f"diverged")
+            np.testing.assert_array_equal(
+                np.asarray(s_xla.leaf_idx), np.asarray(s_k.leaf_idx))
+            np.testing.assert_array_equal(np.asarray(vc_xla),
+                                          np.asarray(vc_k))
+            np.testing.assert_allclose(
+                np.asarray(s_xla.allfit), np.asarray(s_k.allfit),
+                rtol=5e-4, atol=5e-4)
+    # weights must MATTER: unit weights give a different forest than
+    # the 0.5-2.0 draw above after 4 sweeps (guards against the kernel
+    # silently ignoring the weight operand)
+    s_unw = state
+    key = jax.random.PRNGKey(17)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        var = _draw_variates(sub)
+        s_unw, _ = bart_sweep_fused(
+            cfg, s_unw, y, consts, sigma, jax.random.PRNGKey(0),
+            variates=var, interpret=True,
+        )
+    assert not np.array_equal(np.asarray(s_unw.feature),
+                              np.asarray(s_ker.feature))
+
+
+def test_weighted_batch_kernel_matches_xla():
+    """Chain-blocked weighted sweep (CB > 1 exercises the shared (1,
+    NPAD) weight row against (CB, NPAD) residual rows)."""
+    from stan4bart_tpu.ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+    cfg, state, y, ranks, split_probs, consts = _setup(seed=13)
+    w = jnp.asarray(
+        np.random.default_rng(7).uniform(0.25, 3.0, N).astype(np.float32))
+    C = 4
+    keys = jax.random.split(jax.random.PRNGKey(23), C)
+    u = jax.vmap(lambda k: jax.random.uniform(
+        k, (T, 8), dtype=jnp.float32))(keys)
+    zn = jax.vmap(lambda k: jax.random.normal(
+        k, (T, 128), dtype=jnp.float32))(keys)
+    sb = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (C,) + a.shape), state)
+    sig_b = jnp.full((C,), 0.7, jnp.float32)
+    s_batch, vc_batch = bart_sweep_fused_batch(
+        cfg, sb, jnp.broadcast_to(y, (C, N)), consts, sig_b, keys,
+        chain_block=2, weights=w, variates=(u, zn), interpret=True,
+    )
+    for c in range(C):
+        s1, vc1 = bart_ops.bart_sweep(
+            cfg, state, y, ranks, split_probs,
+            jnp.asarray(0.7, jnp.float32), jax.random.PRNGKey(0),
+            weights=w, variates=(u[c], zn[c]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_batch.feature[c]), np.asarray(s1.feature))
+        np.testing.assert_array_equal(
+            np.asarray(s_batch.leaf_idx[c]), np.asarray(s1.leaf_idx))
+        np.testing.assert_array_equal(np.asarray(vc_batch[c]),
+                                      np.asarray(vc1))
+        np.testing.assert_allclose(
+            np.asarray(s_batch.allfit[c]), np.asarray(s1.allfit),
+            rtol=5e-4, atol=5e-4)
+
+
+def test_gibbs_program_sweep_kernel_weighted_runs():
+    """Weighted fits ride the fused kernel now (round 4) — the old
+    ValueError gate is gone and draws stay finite."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(90, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame("y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)",
+                           df)
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    w = np.random.default_rng(0).uniform(0.5, 2.0, 90)
+    prog = GibbsProgram(pm, BartConfig(num_trees=4), mf.y, mf.bart_X,
+                        weights=w, warmup=4, iterations=3,
+                        sweep_kernel=True, dtype=jnp.float32)
+    state = prog.init_state(jax.random.PRNGKey(0))
+    for i in range(4):
+        state, _ = prog.step(state, i, True)
+    for i in range(3):
+        state, draw = prog.step(state, i, False)
+    assert np.isfinite(float(draw.stan[0]))
+    assert np.all(np.isfinite(np.asarray(state.bart.allfit)))
+
+
+def test_gibbs_program_sweep_kernel_regrow_composes():
+    """regrow_per_sweep no longer forces the XLA sweep: the fused
+    kernel runs and the post-sweep regrow refresh keeps the forest
+    invariants (allfit = sum tree_fit; varcount counts the refreshed
+    structures)."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.ops.bart import count_variable_use
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame("y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)",
+                           df)
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    cfg = BartConfig(num_trees=4, regrow_per_sweep=2)
+    prog = GibbsProgram(pm, cfg, mf.y, mf.bart_X,
+                        warmup=5, iterations=4, sweep_kernel=True,
+                        dtype=jnp.float32)
+    state = prog.init_state(jax.random.PRNGKey(1))
+    for i in range(5):
+        state, _ = prog.step(state, i, True)
+    for i in range(4):
+        state, draw = prog.step(state, i, False)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(state.bart.tree_fit, axis=0)),
+        np.asarray(state.bart.allfit), rtol=1e-3, atol=1e-3)
+    vc = count_variable_use(cfg, state.bart.feature,
+                            mf.bart_X.shape[1])
+    np.testing.assert_array_equal(np.asarray(draw.varcount),
+                                  np.asarray(vc))
+    assert np.isfinite(float(draw.stan[0]))
+
+
+def test_gibbs_program_sweep_kernel_rejects_f64():
     from stan4bart_tpu.formula import build_model_frame
     from stan4bart_tpu.gibbs import GibbsProgram
     from stan4bart_tpu.models.assemble import build_parametric_model
@@ -194,11 +359,12 @@ def test_gibbs_program_sweep_kernel_rejects_f64_and_weights():
         GibbsProgram(pm, BartConfig(num_trees=3), mf.y, mf.bart_X,
                      warmup=2, iterations=2, sweep_kernel=True,
                      dtype=jnp.float64)
+    # the in-sweep p_regrow form stays XLA-only
     pm32, _, _ = build_parametric_model(mf, "gaussian", {},
                                         dtype=jnp.float32)
-    with pytest.raises(ValueError, match="weight"):
-        GibbsProgram(pm32, BartConfig(num_trees=3), mf.y, mf.bart_X,
-                     weights=np.ones(60), warmup=2, iterations=2,
+    with pytest.raises(ValueError, match="p_regrow"):
+        GibbsProgram(pm32, BartConfig(num_trees=3, p_regrow=0.3),
+                     mf.y, mf.bart_X, warmup=2, iterations=2,
                      sweep_kernel=True, dtype=jnp.float32)
 
 

@@ -136,6 +136,47 @@ def test_tiled_single_tile_degenerates_to_batch():
     np.testing.assert_array_equal(np.asarray(vc_bat), np.asarray(vc_til))
 
 
+def test_tiled_weighted_matches_xla():
+    """Weighted sufficient statistics in the obs-tiled kernel (pass-A
+    move stats AND pass-B leaf stats accumulate (sum w, sum w r) per
+    tile): identical forests to the XLA weighted sweep."""
+    cfg, state, y, ranks, split_probs, consts = _setup(seed=2)
+    w = jnp.asarray(np.random.default_rng(11)
+                    .uniform(0.5, 2.0, N).astype(np.float32))
+    sigma = jnp.full((C,), 0.7, jnp.float32)
+    yb = jnp.broadcast_to(y, (C, N))
+    key = jax.random.PRNGKey(29)
+    rng_dummy = jax.random.split(jax.random.PRNGKey(0), C)
+
+    s_xla, s_til = state, state
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        var = _variates(sub)
+        s_xla, vc_xla = jax.vmap(
+            lambda st, v0, v1: bart_ops.bart_sweep(
+                cfg, st, y, ranks, split_probs,
+                jnp.asarray(0.7, jnp.float32),
+                jax.random.PRNGKey(0), weights=w, variates=(v0, v1)),
+        )(s_xla, var[0], var[1])
+        s_til, vc_til = bart_sweep_fused_batch_tiled(
+            cfg, s_til, yb, consts, sigma, rng_dummy,
+            chain_block=2, weights=w, variates=var, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.feature), np.asarray(s_til.feature),
+            err_msg=f"weighted tiled sweep {i}: structures diverged")
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.leaf_idx), np.asarray(s_til.leaf_idx))
+        np.testing.assert_array_equal(
+            np.asarray(vc_xla), np.asarray(vc_til))
+        np.testing.assert_allclose(
+            np.asarray(s_xla.allfit), np.asarray(s_til.allfit),
+            rtol=2e-3, atol=2e-3)
+        s_til = s_til._replace(allfit=s_xla.allfit,
+                               tree_fit=s_xla.tree_fit,
+                               leaf_value=s_xla.leaf_value)
+
+
 def test_auto_tile_width_by_regime():
     """make_sweep_consts picks the single-pass default slice below the
     tiled regime and the narrower 5184-lane tile above it (the chip
