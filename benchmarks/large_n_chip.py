@@ -40,6 +40,10 @@ def main():
     CHAINS = int(os.environ.get("BENCH_CHAINS", "64"))
     ITERS = int(os.environ.get("BENCH_ITERS", "25"))
     TREES = int(os.environ.get("BENCH_TREES", "75"))
+    # BENCH_WEIGHTED=1: per-obs likelihood weights ~ U(0.5, 2) on BOTH
+    # paths — measures the round-4 weighted kernel vs the weighted XLA
+    # sweep (the only path weighted fits had before)
+    WEIGHTED = os.environ.get("BENCH_WEIGHTED", "0") == "1"
 
     d = generate_friedman_data(N, ranef=True, causal=True)
     df = friedman_dataframe(d)
@@ -51,11 +55,17 @@ def main():
         mf, "gaussian", {"centered_ranef": True}, dtype=jnp.float32
     )
 
+    weights = None
+    if WEIGHTED:
+        import numpy as np
+        weights = np.random.default_rng(0).uniform(0.5, 2.0, N)
+        print("# weighted likelihoods on both paths", flush=True)
+
     def timeit(sweep_kernel):
         prog = GibbsProgram(
             pm, BartConfig(num_trees=TREES), mf.y, mf.bart_X,
             warmup=4, iterations=ITERS, dtype=jnp.float32,
-            sweep_kernel=sweep_kernel,
+            sweep_kernel=sweep_kernel, weights=weights,
             # sweep-phase timing only: keep the (auto-on) interweaving
             # kernels out of both paths
             linear_gibbs=False, level_gibbs=False,

@@ -484,6 +484,49 @@ def test_step_batched_matches_vmapped_step():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_step_batched_matches_vmapped_step_weighted_regrow():
+    """The RNG-stream contract holds for the round-4 surfaces too:
+    step_batched == vmap(step) with weighted likelihoods AND the
+    post-sweep regrow refresh composed with the kernel."""
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame(
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)", df
+    )
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    w = np.random.default_rng(3).uniform(0.5, 2.0, 120)
+    prog = GibbsProgram(
+        pm, BartConfig(num_trees=4, regrow_per_sweep=2), mf.y,
+        mf.bart_X, weights=w, warmup=4, iterations=3,
+        sweep_kernel=True, dtype=jnp.float32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    states = jax.vmap(prog.init_state)(keys)
+
+    sv = states
+    sb = states
+    for i in range(3):
+        sv, dv = jax.vmap(lambda s: prog.step(s, i, True),
+                          axis_name="chains")(sv)
+        sb, db = prog.step_batched(sb, i, True, chain_block=2)
+        np.testing.assert_array_equal(np.asarray(sv.bart.feature),
+                                      np.asarray(sb.bart.feature))
+        np.testing.assert_array_equal(np.asarray(dv.varcount),
+                                      np.asarray(db.varcount))
+        np.testing.assert_allclose(np.asarray(sv.bart.allfit),
+                                   np.asarray(sb.bart.allfit),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_step_batched_keep_trees_and_skip_bart():
     """Batched driver with keep_trees draws and skip_bart=2 substeps."""
     from stan4bart_tpu.formula import build_model_frame
