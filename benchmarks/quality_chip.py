@@ -37,10 +37,26 @@ def main():
     iw = os.environ.get("QUALITY_IW", "0") == "1"
     stan_args = ({"centered_ranef": True, "linear_gibbs": True,
                   "level_gibbs": True} if iw else None)
+    # QUALITY_WEIGHTED=1: heteroskedastic variant — noise sd 1/sqrt(w_i)
+    # with w ~ U(0.5, 2) passed as likelihood weights, so the weighted
+    # model is correctly specified and the same gates apply (sigma's
+    # truth stays 1.0).  Exercises the round-4 weighted fused kernel on
+    # the production path.
+    weights = None
+    if os.environ.get("QUALITY_WEIGHTED", "0") == "1":
+        rng_w = np.random.default_rng(11)
+        weights = rng_w.uniform(0.5, 2.0, len(df))
+        mu_true = np.where(d["z"] == 1, d["mu_1"], d["mu_0"])
+        eps = d["y"] - mu_true
+        df = df.copy()
+        df["y"] = mu_true + eps / np.sqrt(weights)
+        print("# weighted gates: heteroskedastic noise sd 1/sqrt(w)",
+              flush=True)
     fit = s4b.stan4bart(
         "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
         "+ (1 | g.2)",
         df, treatment="z",
+        weights=weights,
         chains=3, warmup=300, iter=1000, seed=7, verbose=-1,
         bart_args={"n.trees": 50, "sweep_kernel": True},
         stan_args=stan_args,

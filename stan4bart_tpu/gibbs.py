@@ -311,13 +311,17 @@ class GibbsProgram:
             self.sweep_interpret = (
                 jax.default_backend() not in ("tpu", "axon")
             )
-            # obs-tiled kernel past the single-pass kernel's whole-row
-            # scoped-VMEM ceiling (measured-good NPAD = 51840; 100k+
-            # hard-fails the Mosaic compile — BENCH_NOTES round 3).
-            # Batch driver only; the per-chain step falls back to the
-            # XLA sweep at this size.
+            # obs-tiled kernel (batch driver) wherever the single-pass
+            # body cannot run chain block 8 (npad > 82944/8 = 10368):
+            # tiled + 5184-lane tiles measured 1.47x / 1.21x / 1.26x
+            # the single-pass sliced kernel at n = 15k / 30k / 50k and
+            # is the only compilable fused body past npad 51840
+            # (BENCH_NOTES rounds 3-4)
             self.sweep_tiled = self.sweep_consts.npad > int(
-                os.environ.get("S4B_SWEEP_TILED_MIN_NPAD", "51840"))
+                os.environ.get("S4B_SWEEP_TILED_MIN_NPAD", "10368"))
+            # the per-chain (vmapped) step keeps the single-pass sliced
+            # body up to its CB=1 scoped-VMEM ceiling, XLA above it
+            self.sweep_single_ok = self.sweep_consts.npad <= 51840
 
         self.stepsize_init = float(stepsize_init)
         self.sigma_gibbs = bool(sigma_gibbs) and not self.is_binary
@@ -1018,7 +1022,7 @@ class GibbsProgram:
                 y_target = latents - bart_offset
             else:
                 y_target = self.y - bart_offset
-            if self.sweep_consts is not None and not self.sweep_tiled:
+            if self.sweep_consts is not None and self.sweep_single_ok:
                 from .ops.bart_sweep_kernel import bart_sweep_fused
 
                 bart_state, varcount = bart_sweep_fused(

@@ -124,13 +124,18 @@ def make_sweep_consts(cfg: BartConfig, ranks, split_probs,
         if env is not None:
             lane_slice = int(env)
         else:
-            # obs-tiled regime (npad > 51840): the (128, NS) one-hot
-            # shares scoped VMEM with two full-width scratches and the
-            # tile blocks — the single-pass default 10368 OOMs the
-            # Mosaic stack at n=200k, 5184 fits with margin (measured,
-            # BENCH_NOTES round 3)
+            # npad <= 10368: single-pass body at chain block 8 (the
+            # headline regime).  Above it the batch driver defaults to
+            # the obs-tiled kernel (GibbsProgram.sweep_tiled) with
+            # 5184-lane tiles: narrower tiles both fit the Mosaic
+            # scoped-VMEM stack at CB=8 (10368-lane tiles hard-fail the
+            # compile at n=50k) and waste less lane padding.  Measured
+            # round 4 (64 chains, draws/s, sweep phase): tiled-5184
+            # beats the single-pass sliced default 1.47x at n=15k
+            # (2172 vs 1482), 1.21x at n=30k, 1.26x at n=50k; round 3
+            # measured 3.0x vs the XLA scan at n=200k.
             n_est = np.asarray(ranks).shape[0]
-            lane_slice = (DEFAULT_LANE_SLICE if n_est <= 51840
+            lane_slice = (DEFAULT_LANE_SLICE if n_est <= 10368
                           else 5184)
     ranks = np.asarray(ranks)
     n, p = ranks.shape

@@ -178,12 +178,18 @@ def test_tiled_weighted_matches_xla():
 
 
 def test_auto_tile_width_by_regime():
-    """make_sweep_consts picks the single-pass default slice below the
-    tiled regime and the narrower 5184-lane tile above it (the chip
-    config measured at 3.0x the XLA path at n=200k)."""
+    """make_sweep_consts keeps the 10368 single-pass slice in the
+    chain-block-8 regime (npad <= 10368) and switches to 5184-lane
+    tiles above it — the tiled-regime config measured 1.2-1.5x the
+    single-pass sliced body at n=15-50k and 3.0x the XLA path at
+    n=200k.  GibbsProgram flips to the tiled engine on the same
+    boundary."""
     import os
 
+    import jax.numpy as jnp
+
     assert "S4B_SWEEP_SLICE" not in os.environ
+    assert "S4B_SWEEP_TILED_MIN_NPAD" not in os.environ
     cfg = BartConfig(num_trees=4)
     rng = np.random.default_rng(0)
 
@@ -194,6 +200,29 @@ def test_auto_tile_width_by_regime():
 
     small = consts_for(2000)
     assert small.n_slices == 1
-    big = consts_for(52000)     # just past the 51840 single-pass ceiling
+    mid = consts_for(15000)     # tiled band: 5184 -> ceil_to 5248 lanes
+    ns = mid.npad // mid.n_slices
+    assert ns == 5248 and mid.n_slices == 3
+    big = consts_for(52000)
     ns = big.npad // big.n_slices
-    assert ns == 5248 and big.n_slices >= 10   # ceil_to(5184, 128)
+    assert ns == 5248 and big.n_slices >= 10
+
+    # engine boundary: GibbsProgram picks tiled exactly when the
+    # single-pass body cannot run chain block 8
+    from stan4bart_tpu.formula import build_model_frame
+    from stan4bart_tpu.gibbs import GibbsProgram
+    from stan4bart_tpu.models.assemble import build_parametric_model
+    from stan4bart_tpu.utils.friedman import (
+        friedman_dataframe,
+        generate_friedman_data,
+    )
+
+    d = generate_friedman_data(120, ranef=True, causal=False)
+    df = friedman_dataframe(d)
+    mf = build_model_frame("y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 | g.1)",
+                           df)
+    pm, _, _ = build_parametric_model(mf, "gaussian", {},
+                                      dtype=jnp.float32)
+    prog = GibbsProgram(pm, cfg, mf.y, mf.bart_X, warmup=2, iterations=2,
+                        sweep_kernel=True, dtype=jnp.float32)
+    assert not prog.sweep_tiled and prog.sweep_single_ok
