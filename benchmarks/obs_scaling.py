@@ -1,0 +1,144 @@
+"""Observation-sharding scaling proxy (CPU virtual devices).
+
+Measures the explicit obs-sharded Gibbs program
+(parallel/mesh.run_obs_sharded: shard_map over a chains x data mesh,
+hand-placed psums on every sufficient statistic) at fixed chains and
+fixed n while the data-mesh size k grows: t(k) per Gibbs iteration and
+eff(k) = t(1) / (k * t(k) / k) ... reported simply as speedup(k) =
+t(1)/t(k).
+
+CAVEAT (documented, same spirit as benchmarks/scaling_multiproc.py's
+control arm): virtual CPU devices share one host's cores and memory
+bus, so speedup(k) conflates XLA's extra threads with the sharding
+itself; the number that transfers to real multi-chip hardware is the
+COMMUNICATION OVERHEAD, isolated here by the control arm — the same
+total device count running k INDEPENDENT replicas of the chain group
+(pure chain sharding, zero cross-device reductions).  overhead(k) =
+t_obs(k) / t_ctrl(k) - 1 is the fraction of step time spent in the
+psums + replicated per-tree scalar work, an upper bound on what ICI
+allreduces would cost (ICI >> host shared-memory collectives).
+
+Driver: python benchmarks/obs_scaling.py [--n 49152] [--out FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from stan4bart_tpu.formula import build_model_frame  # noqa: E402
+from stan4bart_tpu.gibbs import GibbsProgram  # noqa: E402
+from stan4bart_tpu.models.assemble import build_parametric_model  # noqa: E402
+from stan4bart_tpu.ops.bart import BartConfig  # noqa: E402
+from stan4bart_tpu.parallel.mesh import (  # noqa: E402
+    chain_data_mesh,
+    chain_mesh,
+    run_chains_sharded,
+    run_obs_sharded,
+)
+from stan4bart_tpu.utils.friedman import (  # noqa: E402
+    friedman_dataframe,
+    generate_friedman_data,
+)
+
+
+def build_prog(n, trees, iters):
+    d = generate_friedman_data(n, ranef=True)
+    df = friedman_dataframe(d)
+    mf = build_model_frame("y ~ bart(X1 + X2 + X3) + X4 + (1 | g.2)", df)
+    pm, _, _ = build_parametric_model(mf, "gaussian")
+    return GibbsProgram(
+        pm, BartConfig(num_trees=trees, max_depth=5, n_cuts=32),
+        mf.y, mf.bart_X, warmup=iters, iterations=iters,
+    )
+
+
+def time_obs(prog, chains, k, iters):
+    """t per iteration on a (chains, k) mesh, compile excluded."""
+    mesh = chain_data_mesh(chains, k)
+    keys = jax.random.split(jax.random.PRNGKey(0), chains)
+    # warm: compile + first run
+    st, dr = run_obs_sharded(prog, keys, mesh, n_iters=iters)
+    jax.block_until_ready(dr.stan)
+    t0 = time.perf_counter()
+    st, dr = run_obs_sharded(prog, keys, mesh, n_iters=iters, state=st)
+    jax.block_until_ready(dr.stan)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_ctrl(prog, chains, k, iters):
+    """Control: same device count (chains*k) doing PURE chain sharding
+    over chains*k chains — same per-device obs count is NOT matched
+    (each control chain holds full n), so this controls for device
+    threads, not per-device flops; overhead(k) below is therefore an
+    upper bound."""
+    n_dev = chains * k
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    mesh = chain_mesh(n_dev)
+    _, dr = run_chains_sharded(prog, keys, mesh=mesh, keep_warmup=False)
+    jax.block_until_ready(dr.stan)
+    t0 = time.perf_counter()
+    _, dr = run_chains_sharded(prog, keys, mesh=mesh, keep_warmup=False)
+    jax.block_until_ready(dr.stan)
+    tot = prog.warmup + prog.iterations
+    return (time.perf_counter() - t0) / tot
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=49152)
+    ap.add_argument("--trees", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--chains", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    prog = build_prog(args.n, args.trees, args.iters)
+    rows = []
+    t1 = None
+    for k in (1, 2, 4):
+        t = time_obs(prog, args.chains, k, args.iters)
+        if t1 is None:
+            t1 = t
+        rows.append({
+            "data_shards": k,
+            "devices": args.chains * k,
+            "ms_per_iter": round(t * 1e3, 2),
+            "speedup_vs_k1": round(t1 / t, 3),
+        })
+        print(f"# obs k={k}: {t*1e3:.1f} ms/iter, "
+              f"speedup {t1/t:.2f}", flush=True)
+    result = {
+        "config": {"n": args.n, "trees": args.trees,
+                   "chains": args.chains, "iters": args.iters,
+                   "backend": "cpu-proxy (8 virtual devices, x64)"},
+        "obs_sharded": rows,
+        "note": ("speedup on shared-core virtual devices; the "
+                 "transferable number for real multi-chip is the "
+                 "communication+replication overhead — see module "
+                 "docstring"),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -450,6 +450,10 @@ def stan4bart(
             and bart_cfg.max_depth <= 6
             and n_ok
             and (not multi_device_dispatch or sharded_batched_ok)
+            # the obs-sharded shard_map driver composes XLA one-hot
+            # statistics with psums — one Pallas launch cannot host the
+            # per-tree cross-shard all-reduces (GibbsProgram.local_view)
+            and resolved_stan_args.obs_shards < 2
         )
     if isinstance(stan_args, dict) and stan_args.get("keep_trees"):
         keep_trees_flag = True
@@ -491,7 +495,13 @@ def stan4bart(
         leaf_gibbs=resolved_stan_args.leaf_gibbs,
         leaf_block=resolved_stan_args.leaf_block,
         leaf_block_dim=resolved_stan_args.leaf_block_dim,
-        gram_lik=resolved_stan_args.gram_lik,
+        # the obs-sharded driver REQUIRES the Gram-compressed likelihood
+        # (NUTS gradients may not cross the observation psum — see
+        # GibbsProgram.local_view), so obs_shards promotes the auto
+        # default to on; an explicit gram_lik=False fails loudly there
+        gram_lik=(True if (resolved_stan_args.obs_shards >= 2
+                           and resolved_stan_args.gram_lik is None)
+                  else resolved_stan_args.gram_lik),
         keep_trees=keep_trees_flag,
         parametric_method="vi" if algorithm in ("vi", "advi") else "nuts",
         vi_method="adagrad" if algorithm == "advi" else "rmsprop",
@@ -569,6 +579,37 @@ def stan4bart(
         final_states, draws = run_chains_multihost(
             prog, np.asarray(keys), bart_offset_init=boi,
             sigma_init=sigma_init, keep_warmup=True, callback=cb,
+        )
+    elif resolved_stan_args.obs_shards >= 2:
+        # explicit 2-D chains x data shard_map: one obs shard per device,
+        # every sufficient statistic a hand-placed psum over 'data' — the
+        # multi-chip large-n path (the reference's only big-axis answer
+        # is single-core CSR, continuous.hpp:1176-1197)
+        from stan4bart_tpu.parallel.mesh import (
+            chain_data_mesh,
+            run_chains_obs_sharded,
+        )
+
+        if cb is not None:
+            raise ValueError(
+                "obs_shards does not compose with callback / "
+                "keep_fits=False (the shard_map program stores full "
+                "draws); run those on the default driver"
+            )
+        n_data = int(resolved_stan_args.obs_shards)
+        n_dev = len(jax.devices())
+        if n_dev % n_data != 0:
+            raise ValueError(
+                f"obs_shards ({n_data}) must divide the device count "
+                f"({n_dev})"
+            )
+        n_chain = max(n_dev // n_data, 1)
+        while chains % n_chain != 0:  # chain mesh must divide the chains
+            n_chain -= 1
+        final_states, draws = run_chains_obs_sharded(
+            prog, keys, mesh=chain_data_mesh(n_chain, n_data),
+            bart_offset_init=boi, sigma_init=sigma_init,
+            keep_warmup=True,
         )
     elif cores is not None and cores > 1 and len(jax.devices()) > 1:
         # the reference's chain-over-cores parallelism mapped to a device

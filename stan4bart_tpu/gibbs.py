@@ -244,6 +244,14 @@ class GibbsProgram:
         self.is_binary = pm.cfg.is_binary
         self.N = len(y)
         self.y = jnp.asarray(y, dtype=dtype)
+        # observation sharding (parallel/mesh.run_obs_sharded): on a
+        # local view these change — obs_axis names the 'data' mesh axis,
+        # self.N / self.y / self.ranks / self.weights hold the LOCAL
+        # shard, N_global keeps the true count for global scalars, and
+        # N_global_pad the padded total (= shards * local N)
+        self.obs_axis = None
+        self.N_global = self.N
+        self.N_global_pad = self.N
         self.warmup = int(warmup)
         self.iterations = int(iterations)
         self.skip_stan = int(skip_stan)
@@ -453,7 +461,11 @@ class GibbsProgram:
             rng_scale = 1.0
         else:
             resp = self.y - bart_offset
-            rng_scale = jnp.max(resp) - jnp.min(resp)
+            if self.obs_axis is not None:
+                rng_scale = (jax.lax.pmax(jnp.max(resp), self.obs_axis)
+                             - jax.lax.pmin(jnp.min(resp), self.obs_axis))
+            else:
+                rng_scale = jnp.max(resp) - jnp.min(resp)
         # NOTE: np.sqrt returns a float64 scalar — without the cast the
         # result silently promotes downstream state to f64 under x64
         return jnp.asarray(
@@ -462,6 +474,19 @@ class GibbsProgram:
         )
 
     # ------------------------------------------------------------------
+
+    def _probit_latent_u(self, rng):
+        """Per-obs uniforms for the truncated-normal latent draw.  The
+        obs-sharded view draws the GLOBAL(-padded) stream and slices its
+        local shard so every observation sees the same variate at any
+        shard count (see sample_probit_latents); unsharded returns None
+        (the sampler draws internally, unchanged numerics)."""
+        if self.obs_axis is None:
+            return None
+        u = jax.random.uniform(rng, (self.N_global_pad,), dtype=self.dtype,
+                               minval=1e-7, maxval=1.0 - 1e-7)
+        start = jax.lax.axis_index(self.obs_axis) * self.N
+        return jax.lax.dynamic_slice_in_dim(u, start, self.N)
 
     def init_state(self, rng, bart_offset_init=None, sigma_init=1.0
                    ) -> GibbsState:
@@ -491,7 +516,8 @@ class GibbsProgram:
 
         if self.is_binary:
             latents = bart_ops.sample_probit_latents(
-                bart_state.allfit + bart_offset, self.y, rng_l, self.dtype
+                bart_state.allfit + bart_offset, self.y, rng_l, self.dtype,
+                u=self._probit_latent_u(rng_l),
             )
             y_target = latents - bart_offset
             sigma = jnp.asarray(1.0, self.dtype)
@@ -502,21 +528,36 @@ class GibbsProgram:
 
         bart_state, _ = bart_ops.bart_sweep(
             cfg, bart_state, y_target, self.ranks, self.split_probs,
-            sigma, rng_b2, weights=self.weights,
+            sigma, rng_b2, weights=self.weights, axis_name=self.obs_axis,
         )
         stan_offset = self._stan_offset_from_fit(bart_state.allfit)
 
         nuts = nuts_init(None, q0, stepsize=self.stepsize_init)
         # jnp (not host numpy): y may be a traced argument when whole
-        # fits are jitted over simulated responses (benchmarks/sbc.py)
-        scale_y = (1.0 if self.is_binary
-                   else jnp.std(self.y, ddof=1))
+        # fits are jitted over simulated responses (benchmarks/sbc.py).
+        # The obs-sharded local view carries precomputed global values
+        # (sd over a local shard would be wrong, and initial_inv_mass is
+        # host numpy over the global X).
+        if self.obs_axis is not None:
+            scale_y = self._scale_y_global
+            inv_mass0 = self._inv_mass0_global
+        else:
+            scale_y = (1.0 if self.is_binary
+                       else jnp.std(self.y, ddof=1))
+            inv_mass0 = pm.initial_inv_mass(scale_y, self.N)
         nuts = nuts._replace(inv_mass=jnp.asarray(
-            pm.initial_inv_mass(scale_y, self.N), dtype=self.dtype
+            inv_mass0, dtype=self.dtype
         ))
         # stepsize search against the initial conditional posterior
         y_stan = latents if self.is_binary else self.y
-        logp = lambda u: pm.log_prob(u, stan_offset, y_stan)  # noqa: E731
+        if self.obs_axis is not None:
+            # gradients may not cross the manual psum (see
+            # ParametricModel.log_prob) — anchor the Gram form at q0 so
+            # the stepsize-search leapfrogs stay communication-free
+            anchor0 = pm.gram_anchor(q0, stan_offset, y_stan)
+            logp = lambda u: pm.log_prob_gram(u, anchor0)  # noqa: E731
+        else:
+            logp = lambda u: pm.log_prob(u, stan_offset, y_stan)  # noqa: E731,E501
         eps = init_stepsize(logp, q0, nuts.inv_mass, self.stepsize_init,
                             jax.random.fold_in(rng, 3))
         nuts = nuts._replace(da=nuts.da._replace(
@@ -669,6 +710,7 @@ class GibbsProgram:
             # integer sums stay < 2^24 — default precision is EXACT here
             G = jnp.dot(V, V.T)
             h_lik = jnp.dot(V, r, precision=hi) * inv_s2
+        G, h_lik = self.pm._psum((G, h_lik))
         L_t = jnp.sum(leaf_mask, axis=1).astype(dtype)
         h = h_lik - jnp.sum(d_leaf * bart_state.leaf_value,
                             axis=1) * inv_smu2
@@ -739,6 +781,7 @@ class GibbsProgram:
         else:
             G = jnp.dot(W.T, W)   # 0/1 entries: exact at default precision
             h = jnp.dot(W.T, r, precision=hi) * inv_s2
+        G, h = self.pm._psum((G, h))
         P = G * inv_s2 + inv_smu2 * jnp.eye(D, dtype=dtype)
         Lm = jnp.linalg.cholesky(P)
         mean = jax.scipy.linalg.cho_solve((Lm, True), h)
@@ -782,11 +825,11 @@ class GibbsProgram:
 
         r = y_stan - bart_state.allfit - bart_offset
         if self.weights is not None:
-            sw = jnp.sum(self.weights)
-            swr = jnp.dot(self.weights, r, precision=hi)
+            sw = self.pm._psum(jnp.sum(self.weights))
+            swr = self.pm._psum(jnp.dot(self.weights, r, precision=hi))
         else:
-            sw = jnp.asarray(float(self.N), self.dtype)
-            swr = jnp.sum(r)
+            sw = jnp.asarray(float(self.N_global), self.dtype)
+            swr = self.pm._psum(jnp.sum(r))
 
         leaf_mask = (bart_state.feature == bart_ops.LEAF).astype(self.dtype)
         L_t = jnp.sum(leaf_mask, axis=1)                       # (T,)
@@ -1017,7 +1060,7 @@ class GibbsProgram:
                 rng_j, rng_z = jax.random.split(rng_j)
                 latents = bart_ops.sample_probit_latents(
                     bart_state.allfit + bart_offset, self.y, rng_z,
-                    self.dtype,
+                    self.dtype, u=self._probit_latent_u(rng_z),
                 )
                 y_target = latents - bart_offset
             else:
@@ -1036,6 +1079,7 @@ class GibbsProgram:
                 bart_state, varcount = bart_ops.bart_sweep(
                     cfg, bart_state, y_target, self.ranks,
                     self.split_probs, sigma, rng_j, weights=self.weights,
+                    axis_name=self.obs_axis,
                 )
             return bart_state, latents, varcount
 
@@ -1064,7 +1108,7 @@ class GibbsProgram:
         rng_rg = jax.random.fold_in(rng_j, 0x9e9)
         bart_state = bart_ops.regrow_refresh(
             cfg, bart_state, y_target, self.ranks, self.split_probs,
-            sigma, rng_rg, weights=self.weights,
+            sigma, rng_rg, weights=self.weights, axis_name=self.obs_axis,
         )
         varcount = bart_ops.count_variable_use(
             cfg, bart_state.feature, self.ranks.shape[1])
@@ -1378,6 +1422,72 @@ class GibbsProgram:
         return state._replace(nuts=state.nuts._replace(
             da=da._replace(log_eps=frozen, log_eps_bar=frozen)
         ))
+
+    def local_view(self, local: dict, axis: str = "data",
+                   scale_y=None, inv_mass0=None,
+                   n_global_pad: int | None = None):
+        """Shard-local copy of this program for the explicit obs-sharded
+        driver (parallel/mesh.run_obs_sharded): every obs-sized member is
+        replaced by its LOCAL shard of the ``axis`` mesh dimension and
+        ``obs_axis`` is set so all sufficient statistics psum over it.
+
+        ``local`` keys (each leading-axis obs-local): y, ranks, X,
+        z_structs (list of (lhs, gidx)), gram_A, gram_AW, and optionally
+        weights / user_offset.  ``scale_y`` / ``inv_mass0`` are the
+        precomputed GLOBAL init heuristics (host numpy over global data —
+        they cannot be computed from a shard).  The fused Pallas sweep is
+        disabled on the view: one kernel launch cannot host the per-tree
+        cross-shard all-reduces, so the obs-sharded sweep composes XLA
+        one-hot-matmul statistics with psums (ops/bart.bart_sweep
+        axis_name) — at the large n this axis targets, the O(N) MXU work
+        dominates the per-step launch overhead the kernel removes.
+
+        Requires the Gram-compressed likelihood: JAX does not insert the
+        grad-side all-reduce for a closed-over sharded operand under
+        ``shard_map(check_vma=False)``, so every differentiated density
+        must be the anchored O(D^2) form whose psums are forward-only
+        (gram_anchor runs outside the trajectory)."""
+        import copy
+
+        if not self.use_gram:
+            raise ValueError(
+                "the obs-sharded driver requires the Gram-compressed "
+                "likelihood (gram_lik=True): NUTS gradients may not "
+                "cross the observation psum"
+            )
+        if getattr(self.nuts_cfg, "pooled_axis", None):
+            raise ValueError(
+                "pooled_adaptation is not supported obs-sharded (the "
+                "chain pool would silently become per-device-group)"
+            )
+        lpm = copy.copy(self.pm)
+        lpm.obs_axis = axis
+        lpm.X = local["X"]
+        lpm.z_structs = [tuple(zs) for zs in local["z_structs"]]
+        if "weights" in local:
+            import dataclasses
+
+            lpm.weights = local["weights"]
+            lpm.cfg = dataclasses.replace(lpm.cfg, has_weights=True)
+        lpm.N_rows = local["y"].shape[0]
+        lpm.gram_A = local["gram_A"]
+        lpm.gram_AW = local["gram_AW"]
+
+        lp = copy.copy(self)
+        lp.pm = lpm
+        lp.obs_axis = axis
+        lp.y = local["y"]
+        lp.ranks = local["ranks"]
+        lp.weights = local.get("weights", None)
+        if self.user_offset is not None:
+            lp.user_offset = local["user_offset"]
+        lp.N = int(local["y"].shape[0])
+        lp.N_global_pad = int(n_global_pad if n_global_pad is not None
+                              else local["y"].shape[0])
+        lp._scale_y_global = scale_y
+        lp._inv_mass0_global = inv_mass0
+        lp.sweep_consts = None
+        return lp
 
     def run_chains_chunked(self, keys, chunk_size: int,
                            bart_offset_init=None, sigma_init=1.0,

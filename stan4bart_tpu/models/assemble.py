@@ -91,6 +91,12 @@ class StanArgs:
     # Gram-compressed Gaussian likelihood in the NUTS hot loop (exact
     # reformulation; GibbsProgram.gram_lik).  None = auto by D
     gram_lik: bool | None = None
+    # observation sharding: split the data axis over this many devices
+    # on a 2-D chains x data mesh with explicitly psum'd sufficient
+    # statistics (parallel/mesh.run_chains_obs_sharded) — the multi-chip
+    # large-n path; needs obs_shards * k devices (k chain groups) and
+    # the Gram likelihood.  0/1 = off.
+    obs_shards: int = 0
     seed: int | None = None
     keep_trees: bool = False
 
@@ -127,6 +133,7 @@ def _validate_stan_args(sa: StanArgs):
     check("stepsize", sa.stepsize, lo=0.0, lo_open=True)
     check("stepsize_jitter", sa.stepsize_jitter, lo=0.0, hi=1.0)
     check("leaf_gibbs", sa.leaf_gibbs, lo=0)
+    check("obs_shards", sa.obs_shards, lo=0)
     check("leaf_block", sa.leaf_block, lo=0)
     check("leaf_block_dim", sa.leaf_block_dim, lo=0)
     check("vi_steps", sa.vi_steps, lo=1)

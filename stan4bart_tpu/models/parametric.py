@@ -453,6 +453,14 @@ class ParametricModel:
         self.weights = (
             jnp.asarray(weights, dtype=dtype) if cfg.has_weights else None
         )
+        # observation sharding (parallel/mesh.run_obs_sharded): when set,
+        # X / z_structs / weights / gram_A / gram_AW hold the LOCAL obs
+        # shard of a mesh axis named obs_axis and every likelihood
+        # reduction is psum'd over it; cfg.N stays the GLOBAL count (it
+        # only enters normalization constants), N_rows is the local row
+        # count used for per-obs array allocation.
+        self.obs_axis = None
+        self.N_rows = int(np.shape(X)[0]) if X is not None else cfg.N
         self.hyper = {
             k: (jnp.asarray(v, dtype=dtype)
                 if isinstance(v, (np.ndarray, list, float, int))
@@ -465,6 +473,12 @@ class ParametricModel:
         for pi, li in zip(cfg.p, cfg.l):
             self.b_offsets.append(off)
             off += pi * li
+
+    def _psum(self, x):
+        """All-reduce a (pytree of) local sufficient statistic(s) over the
+        observation mesh axis; identity when not obs-sharded."""
+        return (jax.lax.psum(x, self.obs_axis) if self.obs_axis is not None
+                else x)
 
     # -- transformed parameters ---------------------------------------------
 
@@ -540,7 +554,7 @@ class ParametricModel:
         Large l (> LARGE_Q_THRESHOLD): gather/segment-sum — the one-hot's
         O(N*l) memory is the binding constraint there, not flops."""
         zs = self.z_structs if z_structs is None else z_structs
-        n = zs[0][0].shape[0] if zs else self.cfg.N
+        n = zs[0][0].shape[0] if zs else self.N_rows
         eta = jnp.zeros(n, dtype=self.dtype)
         for (lhs, gidx), off, pi, li in zip(
             zs, self.b_offsets, self.cfg.p, self.cfg.l
@@ -564,7 +578,7 @@ class ParametricModel:
 
     def parametric_mean(self, c, tp, include_fixed=True, include_random=True):
         """eta_param = X beta + Z b (+ gamma) — continuous.hpp:3662-3768."""
-        eta = jnp.zeros(self.cfg.N, dtype=self.dtype)
+        eta = jnp.zeros(self.N_rows, dtype=self.dtype)
         if include_fixed:
             eta = eta + self.eta_fixed(tp["beta"])
             if self.cfg.has_intercept:
@@ -591,7 +605,28 @@ class ParametricModel:
 
         actual_aux = jnp.asarray(1.0, self.dtype) if cfg.is_binary else aux
 
-        if not cfg.has_weights:
+        if self.obs_axis is not None:
+            # obs-sharded: local quadratic, one psum; the normalization
+            # uses the GLOBAL cfg.N (prior terms are replicated, not
+            # reduced).  NOTE: gradients w.r.t. u through this form need
+            # a grad-side all-reduce the manual-sharding driver does not
+            # insert — the obs-sharded driver therefore requires the
+            # Gram-compressed likelihood (log_prob_gram, whose anchor is
+            # forward-only) for every differentiated evaluation and uses
+            # this direct form only in forward-only kernels (slice
+            # sampler, telemetry).
+            hi = jax.lax.Precision.HIGHEST
+            r = y - eta
+            quad = (jnp.dot(self.weights, r * r, precision=hi)
+                    if cfg.has_weights else jnp.dot(r, r, precision=hi))
+            quad = self._psum(quad)
+            lp = (
+                -0.5 * cfg.N * jnp.log(
+                    2.0 * jnp.pi * actual_aux * actual_aux
+                )
+                - 0.5 * quad / (actual_aux * actual_aux)
+            )
+        elif not cfg.has_weights:
             lp = dists.normal_lpdf(y, eta, actual_aux)
         else:
             lp = (
@@ -807,6 +842,10 @@ class ParametricModel:
         rw = r * self.weights if self.cfg.has_weights else r
         rr = jnp.dot(r, rw, precision=hi)
         g = jnp.dot(r, self.gram_AW, precision=hi)
+        # obs-sharded: ONE all-reduce per Gibbs iteration carries the
+        # entire likelihood into the trajectory — every leapfrog of the
+        # NUTS transition is then O(D^2) with zero communication
+        rr, g = self._psum((rr, g))
         return vhat, rr, g
 
     def log_prob_gram(self, u, anchor):
@@ -950,7 +989,7 @@ class ParametricModel:
         eta = offset_ + jnp.dot(self.gram_A, vhat, precision=hi)
         r = y - eta
         rw = r * self.weights if cfg.has_weights else r
-        g = jnp.dot(rw, self.gram_A, precision=hi)
+        g = self._psum(jnp.dot(rw, self.gram_A, precision=hi))
 
         # prior precision P: fixed head + per-term b blocks from theta_L
         # (dispersion already folded into theta_L under decov).  In the

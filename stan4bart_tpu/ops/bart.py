@@ -251,17 +251,23 @@ def table_lookup(onehot, table):
     return jnp.dot(onehot, table, precision=jax.lax.Precision.HIGHEST)
 
 
-def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None, onehot=None):
+def leaf_stats(leaf_idx, resid, max_nodes, count_weights=None, onehot=None,
+               axis_name=None):
     """Per-node (count, resid-sum) via a one-hot matmul (MXU-friendly:
     N x MAXN with MAXN padded near 128).  Full f32 accumulation — the MXU
     bf16 default loses ~3 digits on 10k-obs sufficient statistics.
-    count_weights: per-obs likelihood weights replacing unit counts."""
+    count_weights: per-obs likelihood weights replacing unit counts.
+    axis_name: observation-sharded mode — the inputs are the local obs
+    shard and the (2, MAXN) statistics are all-reduced over the mesh axis
+    (the psum'd sufficient statistics of the obs-sharded sweep)."""
     if onehot is None:
         onehot = node_onehot(leaf_idx, max_nodes, resid.dtype)
     ones = (jnp.ones_like(resid) if count_weights is None
             else count_weights.astype(resid.dtype))
     stacked = jnp.stack([ones, resid])  # (2, N)
     out = jnp.dot(stacked, onehot, precision=jax.lax.Precision.HIGHEST)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     return out[0], out[1]
 
 
@@ -295,7 +301,8 @@ def walk_tree(feature, cut, ranks, max_depth):
 
 
 def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
-               depths, p_split, dtype, count_weights=None, u6=None):
+               depths, p_split, dtype, count_weights=None, u6=None,
+               axis_name=None):
     """One grow/prune/change MH step for a single tree.
 
     tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns updated tree.
@@ -308,6 +315,13 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     u6: optional (6,) pre-drawn uniforms replacing the internal draw —
     lets the fused Pallas sweep kernel and this XLA path be compared on
     identical randomness (see ops/bart_sweep_kernel.py).
+
+    axis_name: observation-sharded mode (parallel/mesh.run_obs_sharded):
+    resid/ranks/leaf_idx are the LOCAL obs shard, the six masked
+    sufficient statistics are all-reduced in ONE psum over the mesh axis,
+    and everything downstream (acceptance, structure update) is
+    replicated-consistent because every shard sees identical proposal
+    RNG and identical global statistics.
     """
     feature, cut, leaf_idx = tree
     M = cfg.max_nodes
@@ -380,6 +394,12 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     n_all, s_all = masked_stats(members)
     n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
     n_lo, s_lo = masked_stats(is_lft)                  # current left
+    if axis_name is not None:
+        # obs-sharded: one fused all-reduce carries every sufficient
+        # statistic of this tree update across the 'data' mesh axis
+        n_all, s_all, n_ln, s_ln, n_lo, s_lo = jax.lax.psum(
+            jnp.stack([n_all, s_all, n_ln, s_ln, n_lo, s_lo]), axis_name
+        )
     n_rn, s_rn = n_all - n_ln, s_all - s_ln
     n_ro, s_ro = n_all - n_lo, s_all - s_lo
 
@@ -445,7 +465,8 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
 
 
 def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
-                    rng, depths, p_split, dtype, count_weights=None):
+                    rng, depths, p_split, dtype, count_weights=None,
+                    axis_name=None):
     """Subtree-regrow MH move (beyond-reference kernel; opt-in via
     ``cfg.p_regrow``): pick an active node eta uniformly, propose
     replacing the whole subtree rooted at eta with a fresh draw from the
@@ -513,9 +534,11 @@ def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
     new_leaf_idx = walk_tree(new_feature, new_cut, ranks, cfg.max_depth)
 
     counts_old, sums_old = leaf_stats(leaf_idx, resid, M,
-                                      count_weights=count_weights)
+                                      count_weights=count_weights,
+                                      axis_name=axis_name)
     counts_new, sums_new = leaf_stats(new_leaf_idx, resid, M,
-                                      count_weights=count_weights)
+                                      count_weights=count_weights,
+                                      axis_name=axis_name)
     leaf_old = (feature == LEAF) & in_sub
     leaf_new = (new_feature == LEAF) & in_sub
     m_old = jnp.sum(jnp.where(
@@ -541,7 +564,7 @@ def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
 
 
 def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
-                   split_probs, sigma, rng, weights=None):
+                   split_probs, sigma, rng, weights=None, axis_name=None):
     """Random-scan subtree-regrow refreshes on a full forest state: pick
     a tree uniformly, attempt ONE whole-subtree regrow (exact MH,
     _subtree_regrow), then redraw its leaves from the conjugate
@@ -590,11 +613,11 @@ def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
         f2, c2, li2 = _subtree_regrow(
             cfg_on, (f_j, c_j, li_j), wres, ranks, split_probs,
             sigma2, tau2, kmv, depths, p_split, dtype,
-            count_weights=w,
+            count_weights=w, axis_name=axis_name,
         )
         onehot_new = node_onehot(li2, M, dtype)
         counts, sums = leaf_stats(li2, wres, M, count_weights=w,
-                                  onehot=onehot_new)
+                                  onehot=onehot_new, axis_name=axis_name)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         mu = post_mean + jnp.sqrt(post_var) * jax.random.normal(
@@ -624,7 +647,8 @@ def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
 
 
 def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
-               split_probs, sigma, rng, weights=None, variates=None):
+               split_probs, sigma, rng, weights=None, variates=None,
+               axis_name=None):
     """One full Gibbs sweep over all trees (the reference's
     ``runSamplerWithResults`` with numSamples=1, init.cpp:821-824).
 
@@ -640,6 +664,18 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
     same-randomness contract shared with the fused Pallas sweep
     (ops/bart_sweep_kernel.py), used to verify the two paths sample the
     same forests.
+
+    axis_name: observation-sharded mode — every obs-sized input
+    (y_target, ranks, weights, state.{leaf_idx, allfit, tree_fit}) is the
+    LOCAL shard of a 'data' mesh axis and every sufficient statistic is
+    all-reduced over it (see _tree_move / leaf_stats).  Tree structures,
+    leaf values, and the RNG stream are replicated across the axis by
+    construction, so the updated forest is identical on every shard.
+    This is the distributed form of the sweep (the reference's only
+    big-axis answer is single-core CSR, continuous.hpp:1176-1197); the
+    fused Pallas kernel cannot host per-tree collectives inside one
+    kernel launch, so the obs-sharded path composes XLA one-hot-matmul
+    statistics with psums instead.
     """
     if (cfg.p_regrow > 0 or cfg.regrow_per_sweep > 0) \
             and variates is not None:
@@ -682,7 +718,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         feature_j, cut_j, leaf_idx_j = _tree_move(
             cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
             split_probs, sigma2, tau2, rng_move, depths, p_split, dtype,
-            count_weights=w, u6=u6_j,
+            count_weights=w, u6=u6_j, axis_name=axis_name,
         )
         if cfg.p_regrow > 0 and variates is None:
             # composed second MH kernel per tree update (valid
@@ -690,7 +726,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
             feature_j, cut_j, leaf_idx_j = _subtree_regrow(
                 cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
                 split_probs, sigma2, tau2, rng_regrow, depths, p_split,
-                dtype, count_weights=w,
+                dtype, count_weights=w, axis_name=axis_name,
             )
 
         # conjugate leaf-mean draws for all leaves of this tree.
@@ -702,7 +738,8 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         # 127/128 VPU lanes.  Keep the one-hot matmul formulation.
         onehot_new = node_onehot(leaf_idx_j, M, dtype)
         counts, sums = leaf_stats(leaf_idx_j, wresid, M,
-                                  count_weights=w, onehot=onehot_new)
+                                  count_weights=w, onehot=onehot_new,
+                                  axis_name=axis_name)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         noise = (jax.random.normal(rng_mu, (M,), dtype)
@@ -732,7 +769,8 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
             leaf_idx=leaf_idx, tree_fit=tree_fit, allfit=allfit,
         )
         tmp = regrow_refresh(cfg, tmp, y_target, ranks, split_probs,
-                             sigma, rng_rg, weights=weights)
+                             sigma, rng_rg, weights=weights,
+                             axis_name=axis_name)
         feature, cut, leaf_value, leaf_idx, tree_fit, allfit = (
             tmp.feature, tmp.cut, tmp.leaf_value, tmp.leaf_idx,
             tmp.tree_fit, tmp.allfit,
@@ -776,9 +814,16 @@ def count_variable_use(cfg: BartConfig, feature, n_vars):
     return jnp.sum(onehot, axis=(0, 1)).astype(jnp.int32)
 
 
-def sample_probit_latents(allfit_plus_offset, y, rng, dtype):
+def sample_probit_latents(allfit_plus_offset, y, rng, dtype, u=None):
     """z_i ~ TruncNormal(mean_i, 1) on the side implied by y_i (dbarts
     probit latent flow; init.cpp:289, 843-847).
+
+    u: optional pre-drawn uniforms in (0, 1) replacing the internal draw
+    — the obs-sharded driver draws them from the GLOBAL-shape stream and
+    slices the local shard, so every observation sees the same variate
+    at any shard count (shard-local draws from a replicated key would be
+    identical across shards — correlated latents — and per-shard folded
+    keys would break cross-shard-count reproducibility).
 
     Small-tail inverse-CDF form: sampling u' in (p0, 1) overflows to
     exactly 1.0 in f32 whenever the constraint probability is tiny
@@ -793,8 +838,9 @@ def sample_probit_latents(allfit_plus_offset, y, rng, dtype):
     from jax.scipy.stats import norm as jnorm
 
     mean = allfit_plus_offset
-    u = jax.random.uniform(rng, mean.shape, dtype=dtype,
-                           minval=1e-7, maxval=1.0 - 1e-7)
+    if u is None:
+        u = jax.random.uniform(rng, mean.shape, dtype=dtype,
+                               minval=1e-7, maxval=1.0 - 1e-7)
     side_prob = jnp.where(y > 0, jnorm.cdf(mean), jnorm.cdf(-mean))
     v = jnp.clip(u * side_prob, 1e-30, 1.0 - 1e-7)
     q = ndtri(v)

@@ -123,59 +123,223 @@ def run_chains_batched_sharded(prog, keys, mesh: Mesh | None = None,
         return run(keys)
 
 
-def _gibbs_state_pspec(state, n_obs: int):
-    """PartitionSpec pytree for a chain-batched GibbsState: chain axis on
-    'chains'; every observation-sized axis on 'data'; everything else
-    replicated.  Used to pin GSPMD so the BART sufficient-statistic
-    reductions and the likelihood sum become psum collectives over the
-    'data' axis (BASELINE.json north star: observation sharding for the
-    sufficient-statistic scans and CSR matvec)."""
-    import jax.tree_util as jtu
+def _obs_shard_inputs(prog, n_shards: int, bart_offset_init=None):
+    """Host-side: gather every obs-sized member of the program into one
+    input pytree, padded to a multiple of ``n_shards``.  Padding
+    replicates row 0 with likelihood weight 0 — an EXACTLY equivalent
+    model (w=1 multiplications are exact in floating point, w=0 rows
+    contribute zero to every sufficient statistic, and normalization
+    constants keep the true global N), so an unweighted model only
+    becomes weighted when padding actually occurs.  Returns
+    (inputs, meta) with meta carrying the padded total and the
+    precomputed global init heuristics."""
+    pm = prog.pm
+    N = prog.N
+    pad = (-N) % n_shards
+    Np = N + pad
 
-    def spec_for(leaf):
-        shape = leaf.shape  # leading axis = chains
-        parts = ["chains"]
-        for d in shape[1:]:
-            parts.append("data" if d == n_obs else None)
-        return P(*parts)
+    def pad0(a):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
 
-    return jtu.tree_map(spec_for, state)
+    weighted = prog.weights is not None or pad > 0
+    A = pad0(pm.gram_A) if prog.use_gram else None
+    inputs = {
+        "y": pad0(prog.y),
+        "ranks": pad0(prog.ranks),
+        "X": pad0(pm.X),
+        "z_structs": [(pad0(lhs), pad0(gidx))
+                      for lhs, gidx in pm.z_structs],
+    }
+    if prog.use_gram:
+        inputs["gram_A"] = A
+    if weighted:
+        w = (np.asarray(prog.weights, np.float64)
+             if prog.weights is not None else np.ones(N))
+        w = np.concatenate([w, np.zeros(pad)]) if pad else w
+        dt = np.asarray(prog.y).dtype
+        inputs["weights"] = w.astype(dt)
+        if prog.use_gram:
+            inputs["gram_AW"] = (A * w[:, None]).astype(A.dtype)
+    elif prog.use_gram:
+        inputs["gram_AW"] = A
+    if prog.user_offset is not None:
+        inputs["user_offset"] = pad0(prog.user_offset)
+    if bart_offset_init is not None:
+        inputs["bart_offset_init"] = pad0(bart_offset_init)
+
+    scale_y = (1.0 if prog.is_binary
+               else float(np.std(np.asarray(prog.y), ddof=1)))
+    meta = {
+        "Np": Np,
+        "scale_y": scale_y,
+        "inv_mass0": np.asarray(pm.initial_inv_mass(scale_y, N)),
+    }
+    return inputs, meta
+
+
+def _obs_state_specs(state):
+    """PartitionSpec pytree for a chain-batched GibbsState under the
+    explicit 2-D shard_map: obs-sized BartState/GibbsState fields (known
+    BY NAME, not by dimension matching) carry 'data'; everything else is
+    per-chain only."""
+    t = jax.tree_util.tree_map
+    bart = type(state.bart)(
+        feature=P("chains"), cut=P("chains"), leaf_value=P("chains"),
+        leaf_idx=P("chains", None, "data"),
+        allfit=P("chains", "data"),
+        k=P("chains"), sigma_mu=P("chains"),
+        tree_fit=P("chains", None, "data"),
+    )
+    return state._replace(
+        nuts=t(lambda _: P("chains"), state.nuts),
+        vi=t(lambda _: P("chains"), state.vi),
+        bart=bart,
+        bart_offset=P("chains", "data"),
+        stan_offset=P("chains", "data"),
+        latents=P("chains", "data"),
+        rng=P("chains"),
+    )
+
+
+def _obs_draw_specs(draw):
+    """Scan-stacked draws are (iters, chains, ...): everything replicated
+    over 'data' except the per-obs bart_train fit."""
+    d = jax.tree_util.tree_map(lambda _: P(None, "chains"), draw)
+    return d._replace(bart_train=P(None, "chains", "data"))
 
 
 def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
-                    is_warmup: bool = False, state=None):
+                    is_warmup: bool = False, state=None,
+                    bart_offset_init=None, sigma_init: float = 1.0):
     """Run n_iters Gibbs iterations with chains sharded over 'chains' AND
-    observations sharded over 'data' (2-D mesh).  Returns (state, draws).
+    observations sharded over 'data' (2-D mesh), as an EXPLICIT
+    ``shard_map`` program: every device holds one obs shard of
+    (y, ranks, X, Z, gram_A) via ``GibbsProgram.local_view``, and every
+    sufficient statistic — the six masked sums per tree update, the
+    (2, max_nodes) leaf statistics, the Gram likelihood anchor, the
+    interweave/level reductions — is a hand-placed ``psum`` over 'data'
+    (ops/bart.bart_sweep / ParametricModel._psum).  Tree structures,
+    NUTS state, and the RNG stream replicate across the data axis by
+    construction, so the sampled chains are identical at any shard count
+    up to reduction-order rounding (pinned in tests/test_obs_sharding).
 
-    Tree arrays / NUTS state replicate within a chain group; (N,)-buffers
-    and the (T, N) leaf-index cache shard over 'data'; XLA inserts the
-    all-reduces for every masked sum, one-hot matmul, and likelihood
-    reduction.
-    """
-    from jax.sharding import NamedSharding
+    This is the production multi-chip large-n path (the reference's only
+    big-axis answer is single-core CSR — SURVEY.md section 5): per Gibbs
+    iteration the communication is ~(6 scalars + 2 max_nodes rows) per
+    tree update plus one (D+1)-vector for the NUTS anchor, all riding
+    ICI allreduces, while the O(N) one-hot matmuls stay local.  N not
+    divisible by the data-mesh size is padded with weight-0 replicas of
+    row 0 (exactly equivalent likelihood; see _obs_shard_inputs).
 
-    def init_all(keys):
-        return jax.vmap(prog.init_state)(keys)
+    Returns (final_states, draws); draws.bart_train is sliced back to
+    the true N, final state obs buffers keep the padded length (feed
+    them back to this driver only)."""
+    n_data = mesh.shape["data"]
+    n_chain = mesh.shape["chains"]
+    chains = keys.shape[0]
+    if chains % n_chain != 0:
+        raise ValueError(
+            f"chains ({chains}) must be a multiple of the chain-mesh "
+            f"size ({n_chain})"
+        )
+    inputs, meta = _obs_shard_inputs(prog, n_data,
+                                     bart_offset_init=bart_offset_init)
+    Np = meta["Np"]
+
+    in_data_specs = jax.tree_util.tree_map(lambda _: P("data"), inputs)
+
+    def local_body(local_keys, local_data, local_state):
+        lprog = prog.local_view(
+            local_data, axis="data", scale_y=meta["scale_y"],
+            inv_mass0=meta["inv_mass0"], n_global_pad=Np,
+        )
+        if local_state is None:
+            st = jax.vmap(lambda k: lprog.init_state(
+                k, local_data.get("bart_offset_init"), sigma_init
+            ))(local_keys)
+        else:
+            st = local_state
+
+        def step_all(st, it):
+            return jax.vmap(
+                lambda s, i: lprog.step(s, i, is_warmup),
+                in_axes=(0, None),
+            )(st, it)
+
+        return jax.lax.scan(step_all, st, jnp.arange(n_iters))
+
+    # output structures (field names drive the specs — obs-sized dims are
+    # not identified by size, which collides at tiny shapes)
+    st_struct = jax.eval_shape(
+        lambda k: jax.vmap(prog.init_state)(k), keys
+    )
+    dr_struct = jax.eval_shape(
+        lambda s: jax.vmap(lambda ss: prog.step(ss, 0, is_warmup))(s)[1],
+        st_struct,
+    )
+    state_specs = _obs_state_specs(st_struct)
+    draw_specs = _obs_draw_specs(dr_struct)
 
     with mesh:
         if state is None:
-            state = jax.jit(init_all)(keys)
-        pspec = _gibbs_state_pspec(state, prog.N)
-        shardings = jax.tree_util.tree_map(
-            lambda s: NamedSharding(mesh, s), pspec
+            run = jax.jit(jax.shard_map(
+                lambda k, d: local_body(k, d, None), mesh=mesh,
+                in_specs=(P("chains"), in_data_specs),
+                out_specs=(state_specs, draw_specs), check_vma=False,
+            ))
+            out_state, draws = run(keys, inputs)
+        else:
+            run = jax.jit(jax.shard_map(
+                lambda k, d, s: local_body(k, d, s), mesh=mesh,
+                in_specs=(P("chains"), in_data_specs, state_specs),
+                out_specs=(state_specs, draw_specs), check_vma=False,
+            ))
+            out_state, draws = run(keys, inputs, state)
+    if Np != prog.N:
+        draws = draws._replace(bart_train=draws.bart_train[..., :prog.N])
+    return out_state, draws
+
+
+def run_chains_obs_sharded(prog, keys, mesh: Mesh, bart_offset_init=None,
+                           sigma_init: float = 1.0,
+                           keep_warmup: bool = True):
+    """Full fit protocol — warmup, adaptation disengage, sampling — on
+    the explicit 2-D chains x data shard_map (run_obs_sharded).  Matches
+    the (final_states, draws) contract of run_chains_sharded: draws come
+    back (chains, iters, ...) with the warmup prefix when keep_warmup."""
+    state, warm = run_obs_sharded(
+        prog, keys, mesh, prog.warmup, is_warmup=True,
+        bart_offset_init=bart_offset_init, sigma_init=sigma_init,
+    )
+    # the freeze touches only per-chain NUTS fields (replicated over
+    # 'data'), so it runs as a plain jit over the global state
+    state = jax.jit(prog._disengage)(state)
+    state, samp = run_obs_sharded(
+        prog, keys, mesh, prog.iterations, is_warmup=False, state=state,
+    )
+
+    def merge(w, s):
+        out = jnp.concatenate([w, s], axis=0) if keep_warmup else s
+        return jnp.swapaxes(out, 0, 1)   # (iters, chains) -> (chains, iters)
+
+    draws = jax.tree_util.tree_map(merge, warm, samp)
+    n = prog.N
+    if state.bart.allfit.shape[-1] != n:
+        # slice the weight-0 pad rows off the final state so it is a
+        # valid UNSHARDED state (continue_sampling runs the global
+        # prog.step on it) — exact: the pad rows are w=0 replicas that
+        # never touched a statistic
+        state = state._replace(
+            bart=state.bart._replace(
+                leaf_idx=state.bart.leaf_idx[..., :n],
+                allfit=state.bart.allfit[..., :n],
+                tree_fit=state.bart.tree_fit[..., :n],
+            ),
+            bart_offset=state.bart_offset[..., :n],
+            stan_offset=state.stan_offset[..., :n],
+            latents=state.latents[..., :n],
         )
-        state = jax.device_put(state, shardings)
-
-        def step_all(state, it):
-            state, draw = jax.vmap(
-                lambda s, i: prog.step(s, i, is_warmup),
-                in_axes=(0, None), axis_name="chains",
-            )(state, it)
-            state = jax.lax.with_sharding_constraint(state, pspec)
-            return state, draw
-
-        @jax.jit
-        def run(state):
-            return jax.lax.scan(step_all, state, jnp.arange(n_iters))
-
-        return run(state)
+    return state, draws
