@@ -3,20 +3,19 @@
 Measures the explicit obs-sharded Gibbs program
 (parallel/mesh.run_obs_sharded: shard_map over a chains x data mesh,
 hand-placed psums on every sufficient statistic) at fixed chains and
-fixed n while the data-mesh size k grows: t(k) per Gibbs iteration and
-eff(k) = t(1) / (k * t(k) / k) ... reported simply as speedup(k) =
-t(1)/t(k).
+fixed n while the data-mesh size k grows; reports t(k) per Gibbs
+iteration and speedup(k) = t(1)/t(k).
 
-CAVEAT (documented, same spirit as benchmarks/scaling_multiproc.py's
-control arm): virtual CPU devices share one host's cores and memory
-bus, so speedup(k) conflates XLA's extra threads with the sharding
-itself; the number that transfers to real multi-chip hardware is the
-COMMUNICATION OVERHEAD, isolated here by the control arm — the same
-total device count running k INDEPENDENT replicas of the chain group
-(pure chain sharding, zero cross-device reductions).  overhead(k) =
-t_obs(k) / t_ctrl(k) - 1 is the fraction of step time spent in the
-psums + replicated per-tree scalar work, an upper bound on what ICI
-allreduces would cost (ICI >> host shared-memory collectives).
+CAVEAT: virtual CPU devices share one host's physical cores (4 in this
+image) and memory bus, so speedup(k) is bounded by the core count, not
+by the program — at k=4 the mesh spans 8 virtual devices on 4 cores.
+The measured speedups are therefore a LOWER bound on what disjoint
+chips would give; correctness at any shard count is certified
+separately (tests/test_obs_sharding.py bit-parity incl. padding /
+probit / weights), and the communication volume per iteration is
+analytic (docs/multihost.md: ~6 scalars + 2 max_nodes rows per tree
+update plus one (D+1)-vector for the NUTS anchor — O(trees * nodes),
+independent of n).
 
 Driver: python benchmarks/obs_scaling.py [--n 49152] [--out FILE]
 """
@@ -40,16 +39,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-import numpy as np  # noqa: E402
-
 from stan4bart_tpu.formula import build_model_frame  # noqa: E402
 from stan4bart_tpu.gibbs import GibbsProgram  # noqa: E402
 from stan4bart_tpu.models.assemble import build_parametric_model  # noqa: E402
 from stan4bart_tpu.ops.bart import BartConfig  # noqa: E402
 from stan4bart_tpu.parallel.mesh import (  # noqa: E402
     chain_data_mesh,
-    chain_mesh,
-    run_chains_sharded,
     run_obs_sharded,
 )
 from stan4bart_tpu.utils.friedman import (  # noqa: E402
@@ -82,24 +77,6 @@ def time_obs(prog, chains, k, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def time_ctrl(prog, chains, k, iters):
-    """Control: same device count (chains*k) doing PURE chain sharding
-    over chains*k chains — same per-device obs count is NOT matched
-    (each control chain holds full n), so this controls for device
-    threads, not per-device flops; overhead(k) below is therefore an
-    upper bound."""
-    n_dev = chains * k
-    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
-    mesh = chain_mesh(n_dev)
-    _, dr = run_chains_sharded(prog, keys, mesh=mesh, keep_warmup=False)
-    jax.block_until_ready(dr.stan)
-    t0 = time.perf_counter()
-    _, dr = run_chains_sharded(prog, keys, mesh=mesh, keep_warmup=False)
-    jax.block_until_ready(dr.stan)
-    tot = prog.warmup + prog.iterations
-    return (time.perf_counter() - t0) / tot
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=49152)
@@ -129,10 +106,8 @@ def main():
                    "chains": args.chains, "iters": args.iters,
                    "backend": "cpu-proxy (8 virtual devices, x64)"},
         "obs_sharded": rows,
-        "note": ("speedup on shared-core virtual devices; the "
-                 "transferable number for real multi-chip is the "
-                 "communication+replication overhead — see module "
-                 "docstring"),
+        "note": ("speedup on 4 shared physical cores — a LOWER "
+                 "bound for disjoint chips; see module docstring"),
     }
     print(json.dumps(result))
     if args.out:
