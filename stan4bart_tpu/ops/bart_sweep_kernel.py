@@ -437,19 +437,25 @@ def _tree_step_math(cfg: BartConfig, p_feat: int,
             Mm_js = (iota_col == lidx_js).astype(f32)
             if n_slices == 1:
                 mm_cache.append(Mm_js)
+            # both leaf statistics in ONE MXU contraction over the lane
+            # axis: (2, NS) x (128, NS) -> (2, 128).  The lane-reduce +
+            # transpose formulation this replaces read the (128, NS)
+            # one-hot twice on the VPU; measured on-chip (ablation
+            # harness, BENCH_NOTES round 4) the dot form runs the whole
+            # per-chain obs pass at ~1.0 us/chain vs ~1.9 us/chain
+            # marginal for the reduce form.
+            r_js = take(r3, s)[j:j + 1, :]
             if w3 is None:
-                counts_j = counts_j + jnp.transpose(
-                    jnp.sum(Mm_js, axis=1, keepdims=True))  # (1, 128)
-                sums_j = sums_j + jnp.transpose(
-                    jnp.sum(Mm_js * take(r3, s)[j:j + 1, :],
-                            axis=1, keepdims=True))
+                stacked_j = jnp.concatenate(
+                    [jnp.ones((1, r_js.shape[1]), f32), r_js], axis=0)
             else:
                 w_s = take(w3, s)
-                counts_j = counts_j + jnp.transpose(
-                    jnp.sum(Mm_js * w_s, axis=1, keepdims=True))
-                sums_j = sums_j + jnp.transpose(
-                    jnp.sum(Mm_js * (w_s * take(r3, s)[j:j + 1, :]),
-                            axis=1, keepdims=True))
+                stacked_j = jnp.concatenate([w_s, w_s * r_js], axis=0)
+            st_j = jax.lax.dot_general(
+                stacked_j, Mm_js, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (2, 128)
+            counts_j = counts_j + st_j[0:1]
+            sums_j = sums_j + st_j[1:2]
         pv_j = 1.0 / (counts_j / sig2[j:j + 1] + 1.0 / tau2r[j:j + 1])
         pm_j = pv_j * sums_j / sig2[j:j + 1]
         mu_j = pm_j + jnp.sqrt(pv_j) * zn[j:j + 1, :]
@@ -704,8 +710,18 @@ def bart_sweep_fused(cfg: BartConfig, state: BartState, y_target,
 
 
 def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
-                       n_slices: int = 1, weighted: bool = False):
+                       n_slices: int = 1, weighted: bool = False,
+                       tb: int = 1, n_trees_real: int | None = None):
+    """tb > 1 = TREE-BLOCKED grid: each grid step processes ``tb``
+    consecutive trees from (1, tb, cb, X) blocks, amortizing the
+    per-grid-step fixed cost (block-DMA issue + grid machinery, measured
+    ~7.2 us/step copy-through at CB=8/npad=10368 — benchmarks/
+    ablate_batch_kernel.py) over tb trees.  The tree count is padded to
+    a multiple of tb host-side; dummy tail slots are skipped by a
+    ``pl.when(t_global < T)`` whole-tree gate so the carried residual
+    and the final resid_o are untouched by them."""
     f32 = jnp.float32
+    T_real = cfg.num_trees if n_trees_real is None else n_trees_real
 
     def kernel(scal_ref, u_ref,
                feature_ref, cut_ref, lv_ref, lidx_ref, tfit_ref,
@@ -717,7 +733,7 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
             w_ref = None
         (feature_o, cut_o, lv_o, lidx_o, tfit_o, resid_o,
          resid_s) = rest
-        # grid = (chain_blocks, trees); trees iterate fastest
+        # grid = (chain_blocks, tree_blocks); tree blocks iterate fastest
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -725,45 +741,68 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
             resid_s[:, :] = resid0_ref[0]
 
         scal = scal_ref[0]                       # (CB, 2)
-        u = u_ref[0, 0]                          # (CB, 8)
-        R = resid_s[:, :]                        # (CB, NPAD)
-        old_fit = tfit_ref[0, 0]                 # (CB, NPAD)
-        r = R + old_fit
 
-        featf, cutf, lidx_slices, lv_new, fit_slices = _tree_step_math(
-            cfg, p_feat,
-            feature_ref[0, 0].astype(f32), cut_ref[0, 0].astype(f32),
-            lidx_ref[0, 0], r,
-            scal[:, 0:1], scal[:, 1:2],
-            u[:, 0:1], u[:, 1:2], u[:, 2:3], u[:, 3:4], u[:, 4:5],
-            u[:, 5:6],
-            zn_ref[0, 0], ranks_ref[:, :], spcum_ref[:, :],
-            psplit_ref[:, :], depths_ref[:, :],
-            n_slices=n_slices,
-            wrow=None if w_ref is None else w_ref[:, :],
-        )
+        def tree_body(j):
+            u = u_ref[0, j]                      # (CB, 8)
+            R = resid_s[:, :]                    # (CB, NPAD)
+            old_fit = tfit_ref[0, j]             # (CB, NPAD)
+            lidx_in = lidx_ref[0, j]
+            if j > 0:
+                # serialize the unrolled trees through the residual
+                # scratch (rule 9, docs/sweep_kernel.md): without this
+                # Mosaic hoists every tree's input-only membership masks
+                # ahead of the first tree and keeps tb sets live at once
+                dep = (R[0:1, 0:1] * 0.0).astype(jnp.int32)
+                lidx_in = lidx_in + dep
+            r = R + old_fit
 
-        feature_o[0, 0] = featf.astype(jnp.int32)
-        cut_o[0, 0] = cutf.astype(jnp.int32)
-        lv_o[0, 0] = lv_new
-        if n_slices == 1:
-            new_fit = fit_slices[0]
-            R_new = R + old_fit - new_fit
-            resid_s[:, :] = R_new
-            resid_o[0] = R_new
-            lidx_o[0, 0] = lidx_slices[0]
-            tfit_o[0, 0] = new_fit
-        else:
-            ns_k = npad // n_slices
-            for s in range(n_slices):
-                sl = slice(s * ns_k, (s + 1) * ns_k)
-                new_fit_s = fit_slices[s]
-                R_new_s = (resid_s[:, sl] + tfit_ref[0, 0, :, sl]
-                           - new_fit_s)
-                resid_s[:, sl] = R_new_s
-                resid_o[0, :, sl] = R_new_s
-                lidx_o[0, 0, :, sl] = lidx_slices[s]
-                tfit_o[0, 0, :, sl] = new_fit_s
+            featf, cutf, lidx_slices, lv_new, fit_slices = \
+                _tree_step_math(
+                    cfg, p_feat,
+                    feature_ref[0, j].astype(f32),
+                    cut_ref[0, j].astype(f32),
+                    lidx_in, r,
+                    scal[:, 0:1], scal[:, 1:2],
+                    u[:, 0:1], u[:, 1:2], u[:, 2:3], u[:, 3:4],
+                    u[:, 4:5], u[:, 5:6],
+                    zn_ref[0, j], ranks_ref[:, :], spcum_ref[:, :],
+                    psplit_ref[:, :], depths_ref[:, :],
+                    n_slices=n_slices,
+                    wrow=None if w_ref is None else w_ref[:, :],
+                )
+
+            feature_o[0, j] = featf.astype(jnp.int32)
+            cut_o[0, j] = cutf.astype(jnp.int32)
+            lv_o[0, j] = lv_new
+            if n_slices == 1:
+                new_fit = fit_slices[0]
+                R_new = R + old_fit - new_fit
+                resid_s[:, :] = R_new
+                resid_o[0] = R_new
+                lidx_o[0, j] = lidx_slices[0]
+                tfit_o[0, j] = new_fit
+            else:
+                ns_k = npad // n_slices
+                for s in range(n_slices):
+                    sl = slice(s * ns_k, (s + 1) * ns_k)
+                    new_fit_s = fit_slices[s]
+                    R_new_s = (resid_s[:, sl] + tfit_ref[0, j, :, sl]
+                               - new_fit_s)
+                    resid_s[:, sl] = R_new_s
+                    resid_o[0, :, sl] = R_new_s
+                    lidx_o[0, j, :, sl] = lidx_slices[s]
+                    tfit_o[0, j, :, sl] = new_fit_s
+
+        for j in range(tb):
+            if T_real % tb == 0 or j == 0:
+                tree_body(j)
+            else:
+                # tail block: dummy tree slots past the true tree count
+                # are skipped entirely (their output blocks hold garbage
+                # that the host slices off)
+                @pl.when(t * tb + j < T_real)
+                def _run(j=j):
+                    tree_body(j)
 
     return kernel
 
@@ -771,57 +810,68 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_obs", "npad", "cb", "n_slices",
-                     "weighted", "interpret"),
+                     "weighted", "tb", "interpret"),
 )
 def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
                       resid0, ranks_f, spcum, psplit, depths, u, zn,
                       scal, wpad, n_obs: int, npad: int, cb: int,
-                      n_slices: int, weighted: bool, interpret: bool):
+                      n_slices: int, weighted: bool, interpret: bool,
+                      tb: int = 1):
     T = cfg.num_trees
     P = ranks_f.shape[0]
     cblk = featp.shape[0]
     f32 = jnp.float32
+    # tree blocking: pad the tree axis to a tb multiple; dummy tail
+    # slots are gated off in-kernel and sliced off below
+    T_pad = -(-T // tb) * tb
+    if T_pad != T:
+        pad_t = ((0, 0), (0, T_pad - T), (0, 0), (0, 0))
+        featp, cutp, lvp = (jnp.pad(x, pad_t, constant_values=INACTIVE)
+                            for x in (featp, cutp, lvp))
+        lidxp, tfitp, u, zn = (jnp.pad(x, pad_t)
+                               for x in (lidxp, tfitp, u, zn))
 
     tree4 = lambda c, t: (c, t, 0, 0)   # noqa: E731
     chain3 = lambda c, t: (c, 0, 0)     # noqa: E731
     const2 = lambda c, t: (0, 0)        # noqa: E731
 
-    kernel = _make_batch_kernel(cfg, npad, P, cb, n_slices, weighted)
+    kernel = _make_batch_kernel(cfg, npad, P, cb, n_slices, weighted,
+                                tb=tb, n_trees_real=T)
     in_specs = [
             pl.BlockSpec((1, cb, 2), chain3),                    # scal
-            pl.BlockSpec((1, 1, cb, 8), tree4),                  # u
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # feature
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # cut
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # lv
-            pl.BlockSpec((1, 1, cb, npad), tree4),               # lidx
-            pl.BlockSpec((1, 1, cb, npad), tree4),               # tfit
+            pl.BlockSpec((1, tb, cb, 8), tree4),                 # u
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),          # feature
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),          # cut
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),          # lv
+            pl.BlockSpec((1, tb, cb, npad), tree4),              # lidx
+            pl.BlockSpec((1, tb, cb, npad), tree4),              # tfit
             pl.BlockSpec((1, cb, npad), chain3),                 # resid0
             pl.BlockSpec((P, npad), const2),                     # ranks
             pl.BlockSpec((1, P), const2),                        # spcum
             pl.BlockSpec((1, NODE_PAD), const2),                 # psplit
             pl.BlockSpec((1, NODE_PAD), const2),                 # depths
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),           # zn
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),          # zn
     ]
     if weighted:
         in_specs.append(pl.BlockSpec((1, npad), const2))         # w
     outs = pl.pallas_call(
         kernel,
-        grid=(cblk, T),
+        grid=(cblk, T_pad // tb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
-            pl.BlockSpec((1, 1, cb, NODE_PAD), tree4),
-            pl.BlockSpec((1, 1, cb, npad), tree4),
-            pl.BlockSpec((1, 1, cb, npad), tree4),
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, tb, cb, NODE_PAD), tree4),
+            pl.BlockSpec((1, tb, cb, npad), tree4),
+            pl.BlockSpec((1, tb, cb, npad), tree4),
             pl.BlockSpec((1, cb, npad), chain3),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((cblk, T, cb, NODE_PAD), f32),
-            jax.ShapeDtypeStruct((cblk, T, cb, npad), jnp.int32),
-            jax.ShapeDtypeStruct((cblk, T, cb, npad), f32),
+            jax.ShapeDtypeStruct((cblk, T_pad, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T_pad, cb, NODE_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T_pad, cb, NODE_PAD), f32),
+            jax.ShapeDtypeStruct((cblk, T_pad, cb, npad), jnp.int32),
+            jax.ShapeDtypeStruct((cblk, T_pad, cb, npad), f32),
             jax.ShapeDtypeStruct((cblk, cb, npad), f32),
         ],
         scratch_shapes=[pltpu.VMEM((cb, npad), f32)],
@@ -829,6 +879,8 @@ def _sweep_call_batch(cfg: BartConfig, featp, cutp, lvp, lidxp, tfitp,
     )(scal, u, featp, cutp, lvp, lidxp, tfitp, resid0,
       ranks_f, spcum, psplit, depths, zn,
       *((wpad,) if weighted else ()))
+    if T_pad != T:
+        outs = [o[:, :T] for o in outs[:5]] + [outs[5]]
     return outs
 
 
@@ -915,12 +967,23 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
             else jnp.pad(jnp.asarray(weights, f32)[None, :],
                          ((0, 0), (0, NPAD - N))))
 
+    # tree blocking (S4B_SWEEP_TB): amortizes the measured ~7 us fixed
+    # grid/DMA-issue cost per grid step over tb trees.  Single-pass body
+    # only — the sliced body's per-slice temporaries already crowd the
+    # scoped-VMEM stack — and capped so the tb*(cb*npad) lidx/tfit
+    # blocks keep total VMEM under Mosaic's 16M scoped stack
+    # (double-buffered in+out pairs ~ 16*tb*cb*npad bytes next to the
+    # ~7M body live set).
+    tb = int(os.environ.get("S4B_SWEEP_TB", "1"))
+    if consts.n_slices > 1 or cb * NPAD > 82944 or tb < 1:
+        tb = 1
+
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_batch(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,
         consts.ranks_f, consts.spcum, consts.psplit, consts.depths,
         ub, znb, scal, wpad, n_obs=N, npad=NPAD, cb=cb,
         n_slices=consts.n_slices, weighted=weighted,
-        interpret=interpret,
+        interpret=interpret, tb=tb,
     )
 
     dtype = state.allfit.dtype
@@ -1341,19 +1404,20 @@ def _make_tiled_kernel(cfg: BartConfig, p_feat: int, cb: int, nt: int,
                     dep = (cnt_s[0:1, 0:1] * 0.0).astype(jnp.int32)
                     lidx_j = lidx_j + dep
                 Mm_j = (iota_col == lidx_j).astype(f32)
+                # both leaf statistics in one MXU contraction (see
+                # _tree_step_math — measured ~2x the VPU reduce form)
+                r_j = r_t[j:j + 1, :]
                 if weighted:
                     w_t = w_ref[0]
-                    cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
-                        jnp.sum(Mm_j * w_t, axis=1, keepdims=True))
-                    sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
-                        jnp.sum(Mm_j * (w_t * r_t[j:j + 1, :]), axis=1,
-                                keepdims=True))
+                    stacked_j = jnp.concatenate([w_t, w_t * r_j], axis=0)
                 else:
-                    cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + jnp.transpose(
-                        jnp.sum(Mm_j, axis=1, keepdims=True))
-                    sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + jnp.transpose(
-                        jnp.sum(Mm_j * r_t[j:j + 1, :], axis=1,
-                                keepdims=True))
+                    stacked_j = jnp.concatenate(
+                        [jnp.ones((1, r_j.shape[1]), f32), r_j], axis=0)
+                st_j = jax.lax.dot_general(
+                    stacked_j, Mm_j, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)             # (2, 128)
+                cnt_s[j:j + 1, :] = cnt_s[j:j + 1, :] + st_j[0:1]
+                sum_s[j:j + 1, :] = sum_s[j:j + 1, :] + st_j[1:2]
 
             @pl.when(ot == nt - 1)
             def _leaf_draw():

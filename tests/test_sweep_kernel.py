@@ -645,3 +645,48 @@ def test_sliced_sweep_matches_xla_on_same_variates():
             np.asarray(s_batch.allfit[c]), np.asarray(s1.allfit),
             rtol=5e-4, atol=5e-4,
         )
+
+
+@pytest.mark.parametrize("tb", [2, 3, 4])
+def test_tree_blocked_batch_kernel_matches_unblocked(tb, monkeypatch):
+    """S4B_SWEEP_TB > 1 (tree-blocked grid) samples bit-identical
+    forests to the per-tree grid, including tree counts the block size
+    does not divide (T=10 with tb=3/4 exercises the pl.when tail gate)
+    and over CHAINED sweeps (the carried residual crosses block
+    boundaries)."""
+    from stan4bart_tpu.ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+    cfg, state, y, ranks, split_probs, consts = _setup()
+    C = 4
+    keys = jax.random.split(jax.random.PRNGKey(9), C)
+    sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape),
+                      state)
+    yb = jnp.broadcast_to(y, (C,) + y.shape)
+    sigmas = jnp.full((C,), 0.7, jnp.float32)
+
+    def two_sweeps(tb_val):
+        monkeypatch.setenv("S4B_SWEEP_TB", str(tb_val))
+        s = sb
+        for i in range(2):
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+            u = jax.vmap(lambda k: jax.random.uniform(
+                k, (T, 8), dtype=jnp.float32))(ks)
+            zn = jax.vmap(lambda k: jax.random.normal(
+                k, (T, 128), dtype=jnp.float32))(ks)
+            s, vc = bart_sweep_fused_batch(
+                cfg, s, yb, consts, sigmas, ks, chain_block=2,
+                variates=(u, zn), interpret=True)
+        return s, vc
+
+    s1, vc1 = two_sweeps(1)
+    s2, vc2 = two_sweeps(tb)
+    np.testing.assert_array_equal(np.asarray(s1.feature),
+                                  np.asarray(s2.feature))
+    np.testing.assert_array_equal(np.asarray(s1.cut), np.asarray(s2.cut))
+    np.testing.assert_array_equal(np.asarray(s1.leaf_idx),
+                                  np.asarray(s2.leaf_idx))
+    np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
+    np.testing.assert_array_equal(np.asarray(s1.leaf_value),
+                                  np.asarray(s2.leaf_value))
+    np.testing.assert_array_equal(np.asarray(s1.allfit),
+                                  np.asarray(s2.allfit))
