@@ -752,7 +752,9 @@ def _make_batch_kernel(cfg: BartConfig, npad: int, p_feat: int, cb: int,
                 # scratch (rule 9, docs/sweep_kernel.md): without this
                 # Mosaic hoists every tree's input-only membership masks
                 # ahead of the first tree and keeps tb sets live at once
-                dep = (R[0:1, 0:1] * 0.0).astype(jnp.int32)
+                # (CB, 1) so the lidx broadcast is lanes-only — Mosaic
+                # cannot broadcast (1, 1) across both sublanes and lanes
+                dep = (R[:, 0:1] * 0.0).astype(jnp.int32)
                 lidx_in = lidx_in + dep
             r = R + old_fit
 
