@@ -419,6 +419,63 @@ class Stan4bartFit:
             return {k: v.mean(axis=-1) for k, v in draws.items()}
         return draws.mean(axis=-1)
 
+    # -- information criteria (beyond the reference: rstanarm's log_lik /
+    # loo / waic generics next to the posterior accessors) --------------------
+
+    def _log_lik_raw(self, include_warmup=False):
+        """Pointwise log p(y_i | draw) on the training data, internal
+        (chains, iter, n) layout.  Gaussian: Normal(ev, sigma/sqrt(w_i))
+        — the exact likelihood continuous.stan:402-429 increments;
+        probit: Bernoulli(Phi(lin)), weights scaling the log-density as
+        in the weighted Stan target."""
+        if not self.keep_fits:
+            raise ValueError("log_lik requires keep_fits=True")
+        ev = self._ev(include_warmup, "train")       # probit: P(y = 1)
+        y = np.asarray(self.mf.y, dtype=np.float64)
+        w = (None if self.mf.weights is None
+             else np.asarray(self.mf.weights, dtype=np.float64))
+        if self.is_binary:
+            p = np.clip(ev, 1e-12, 1.0 - 1e-12)
+            ll = np.where(y > 0, np.log(p), np.log1p(-p))
+            if w is not None:
+                ll = ll * w
+        else:
+            sigma = self._sigma_draws(include_warmup)[..., None]
+            var = sigma ** 2 if w is None else sigma ** 2 / w
+            ll = -0.5 * (np.log(2.0 * np.pi * var) + (y - ev) ** 2 / var)
+        return ll
+
+    def log_lik(self, combine_chains: bool = True,
+                include_warmup: bool = False):
+        """Pointwise log-likelihood, (n_obs, draws) with the draws axis
+        last (same layout as extract); na_action='exclude' re-inserts
+        NaN rows.  Feeds fit.loo() / fit.waic()."""
+        return self._na_expand(
+            self._flatten(self._log_lik_raw(include_warmup),
+                          combine_chains), "train")
+
+    def loo(self, include_warmup: bool = False) -> dict:
+        """PSIS-LOO expected log predictive density (loo.py): elpd_loo,
+        p_loo, looic with standard errors, plus per-observation
+        pareto_k diagnostics (k > 0.7 flags unreliable points)."""
+        from .loo import psis_loo
+
+        ll = self._flatten(self._log_lik_raw(include_warmup), True)
+        out = psis_loo(ll)
+        if out["n_high_k"]:
+            warnings.warn(
+                f"{out['n_high_k']} of {out['n_obs']} observations have "
+                "pareto_k > 0.7: their PSIS-LOO contributions are "
+                "unreliable (consider exact refits for those points)")
+        return out
+
+    def waic(self, include_warmup: bool = False) -> dict:
+        """WAIC (pWAIC2 penalty) from the pointwise log-likelihood."""
+        from .loo import waic as _waic
+
+        return _waic(self._flatten(self._log_lik_raw(include_warmup),
+                                   True))
+
     # -- out-of-sample prediction (needs keep_trees) --------------------------
 
     def _tree_draws(self, include_warmup):
