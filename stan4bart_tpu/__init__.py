@@ -17,6 +17,7 @@ Reference parity map: see SURVEY.md at the repo root.
 """
 
 from stan4bart_tpu.fit import chi, stan4bart  # noqa: F401
+from stan4bart_tpu.loo import loo_compare  # noqa: F401
 from stan4bart_tpu.models import priors  # noqa: F401
 from stan4bart_tpu.models.priors import (  # noqa: F401
     R2,

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.special import logsumexp
 
-__all__ = ["gpdfit", "psis_smooth", "psis_loo", "waic"]
+__all__ = ["gpdfit", "psis_smooth", "psis_loo", "waic", "loo_compare"]
 
 
 def gpdfit(x: np.ndarray) -> tuple[float, float]:
@@ -154,3 +154,30 @@ def waic(log_lik: np.ndarray) -> dict:
         n_draws=S,
         n_obs=n,
     )
+
+
+def loo_compare(results: dict) -> list:
+    """Rank models by elpd_loo with pairwise-difference standard errors.
+
+    ``results`` maps model name -> the dict returned by ``psis_loo``
+    (or ``fit.loo()``); every entry must cover the same observations.
+    Returns rows of (name, elpd_loo, elpd_diff, se_diff) sorted best
+    first — the loo package's ``loo_compare`` table, where se_diff is
+    the standard error of the PAIRED pointwise difference against the
+    best model (never the difference of the marginal SEs).
+    """
+    items = list(results.items())
+    if len(items) < 2:
+        raise ValueError("loo_compare needs at least two models")
+    n = {name: r["n_obs"] for name, r in items}
+    if len(set(n.values())) != 1:
+        raise ValueError(f"models cover different observation sets: {n}")
+    items.sort(key=lambda kv: -kv[1]["elpd_loo"])
+    best = items[0][1]
+    rows = []
+    for name, r in items:
+        d_i = np.asarray(r["elpd_i"]) - np.asarray(best["elpd_i"])
+        se = float(np.sqrt(r["n_obs"] * np.var(d_i, ddof=1)))
+        rows.append(dict(name=name, elpd_loo=r["elpd_loo"],
+                         elpd_diff=float(d_i.sum()), se_diff=se))
+    return rows

@@ -132,6 +132,11 @@ def test_loo_model_comparison(small_fit):
     se = np.sqrt(e_good["n_obs"] * np.var(
         e_good["elpd_i"] - e_bad["elpd_i"], ddof=1))
     assert diff > 3 * se, (diff, se)
+    table = s4b.loo_compare({"true": e_good, "noise": e_bad})
+    assert [r["name"] for r in table] == ["true", "noise"]
+    assert table[0]["elpd_diff"] == 0.0 and table[0]["se_diff"] == 0.0
+    np.testing.assert_allclose(table[1]["elpd_diff"], -diff)
+    np.testing.assert_allclose(table[1]["se_diff"], se)
 
 
 def test_log_lik_weighted_and_probit():
