@@ -64,17 +64,61 @@ def build_prog(n, trees, iters):
     )
 
 
-def time_obs(prog, chains, k, iters):
-    """t per iteration on a (chains, k) mesh, compile excluded."""
+def time_obs(prog, chains, k, iters, reps=3):
+    """t per iteration on a (chains, k) mesh, compile excluded; best of
+    ``reps`` timed runs (virtual CPU devices share cores with everything
+    else on the host, so single measurements are noisy)."""
     mesh = chain_data_mesh(chains, k)
     keys = jax.random.split(jax.random.PRNGKey(0), chains)
     # warm: compile + first run
     st, dr = run_obs_sharded(prog, keys, mesh, n_iters=iters)
     jax.block_until_ready(dr.stan)
-    t0 = time.perf_counter()
-    st, dr = run_obs_sharded(prog, keys, mesh, n_iters=iters, state=st)
-    jax.block_until_ready(dr.stan)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st, dr = run_obs_sharded(prog, keys, mesh, n_iters=iters,
+                                 state=st)
+        jax.block_until_ready(dr.stan)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def count_collective_sites(prog, trees):
+    """psum SITES in the traced obs-sharded per-tree update (executed
+    once per tree, so executed collectives per Gibbs iteration =
+    sites_per_tree * trees + fixed): the structural quantity that sets
+    the ICI-latency floor of the sequential sweep on real multi-chip
+    hardware.  Round 5 merged the move-scalar and leaf-statistic
+    reductions into ONE psum per tree (ops/bart._tree_move), halving
+    the executed collective count; tests/test_obs_sharding pins it."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from stan4bart_tpu.ops import bart as B
+
+    mesh = chain_data_mesh(1, 2)
+    cfg = prog.bart_cfg
+    state = B.bart_init(cfg, prog.N // 2)
+    sp = jnp.full(prog.ranks.shape[1], 1.0 / prog.ranks.shape[1])
+
+    def local_sweep(y, ranks):
+        st, _ = B.bart_sweep(cfg, state, y, ranks, sp, jnp.asarray(1.0),
+                             jax.random.PRNGKey(0), axis_name="data")
+        return st.allfit
+
+    f = jax.shard_map(local_sweep, mesh=mesh,
+                      in_specs=(P("data"), P("data")),
+                      out_specs=P("data"), check_vma=False)
+    txt = str(jax.make_jaxpr(f)(
+        jnp.zeros(prog.N),
+        jnp.zeros((prog.N, prog.ranks.shape[1]), dtype=jnp.int32)))
+    sites = txt.count("psum")
+    return {
+        "psum_sites_per_tree_update": sites,
+        "executed_allreduces_per_sweep": sites * trees,
+        "naive_form": {"psum_sites_per_tree_update": 2,
+                       "executed_allreduces_per_sweep": 2 * trees},
+    }
 
 
 def main():
@@ -106,8 +150,19 @@ def main():
                    "chains": args.chains, "iters": args.iters,
                    "backend": "cpu-proxy (8 virtual devices, x64)"},
         "obs_sharded": rows,
-        "note": ("speedup on 4 shared physical cores — a LOWER "
-                 "bound for disjoint chips; see module docstring"),
+        "collectives": count_collective_sites(prog, args.trees),
+        "note": (
+            "WALL-CLOCK CONFOUND, measured: XLA:CPU virtual devices "
+            "share ONE intra-op thread pool spanning all 4 physical "
+            "cores (a (4096,4096) matmul on 1 of 8 virtual devices "
+            "times identically to 1 of 1), so the k=1 baseline is "
+            "already 4-core-parallel and the speedup column only "
+            "prices sharding OVERHEAD, not the data-parallel win; "
+            "collective LATENCY (the real-ICI cost this path "
+            "restructures) is ~0 in shared-memory psums.  The "
+            "structural result is the 'collectives' block: ONE psum "
+            "per tree update (was 2)."
+        ),
     }
     print(json.dumps(result))
     if args.out:

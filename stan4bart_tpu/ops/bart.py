@@ -305,7 +305,11 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
                axis_name=None):
     """One grow/prune/change MH step for a single tree.
 
-    tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns updated tree.
+    tree = (feature (M,), cut (M,), leaf_idx (N,)).  Returns
+    (feature, cut, leaf_idx, stats) where stats is None on the local
+    path and the accepted per-node sufficient statistics
+    (counts (M,), sums (M,)) on the obs-sharded path (so the caller's
+    conjugate leaf draw needs no second reduction).
 
     The three moves share one unified data path (chains are vmapped, so a
     lax.switch would execute every branch per chain anyway): one member
@@ -317,9 +321,15 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     identical randomness (see ops/bart_sweep_kernel.py).
 
     axis_name: observation-sharded mode (parallel/mesh.run_obs_sharded):
-    resid/ranks/leaf_idx are the LOCAL obs shard, the six masked
-    sufficient statistics are all-reduced in ONE psum over the mesh axis,
-    and everything downstream (acceptance, structure update) is
+    resid/ranks/leaf_idx are the LOCAL obs shard and ONE psum over the
+    mesh axis carries the entire per-node sufficient-statistic set for
+    BOTH the current and the proposed partitions (the proposed partition
+    ``new_leaf_idx`` depends only on replicated structure + RNG + local
+    ranks, so it is computable before any reduction).  The six move
+    scalars are derived from the per-node stats and the post-accept leaf
+    statistics are a select between the two — one collective per tree
+    update total, where the naive form needs two (measured eff(4 proxy
+    shards) 0.55 -> see OBS_SCALING_r05).  Everything downstream is
     replicated-consistent because every shard sees identical proposal
     RNG and identical global statistics.
     """
@@ -376,30 +386,65 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     # unified masks & sufficient statistics -----------------------------
     is_lft = leaf_idx == lft
     members = jnp.where(do_grow, leaf_idx == eta, is_lft | (leaf_idx == rgt))
+    # the PROPOSED partition — computable before any cross-shard
+    # reduction (members/dest depend only on replicated structure + RNG
+    # + local ranks), which is what lets the sharded path do one psum
+    dest = jnp.where(do_prune, eta, jnp.where(go_left_new, lft, rgt))
+    new_leaf_idx = jnp.where(members, dest, leaf_idx)
 
-    # NOTE on Pallas: a fused-stats kernel for these six masked sums was
-    # built and measured NEUTRAL on-chip in round 1 (BENCH_NOTES negative
-    # results) — at the 64-chain headline the per-kernel launch overhead
-    # is amortized across the vmapped chain batch (launch count is
-    # independent of the batch), so XLA's fusions already sit at the
-    # bandwidth floor here; the kernel was removed rather than shipped
-    # dead (round-1 verdict: win or delete).
-    def masked_stats(mask):
-        cw = (mask.astype(dtype) if count_weights is None
-              else jnp.where(mask, count_weights, 0.0))
-        n = jnp.sum(cw)
-        s = jnp.sum(jnp.where(mask, resid, 0.0))
-        return n, s
+    stats_acc = None
+    if axis_name is None:
+        # NOTE on Pallas: a fused-stats kernel for these six masked sums
+        # was built and measured NEUTRAL on-chip in round 1 (BENCH_NOTES
+        # negative results) — at the 64-chain headline the per-kernel
+        # launch overhead is amortized across the vmapped chain batch
+        # (launch count is independent of the batch), so XLA's fusions
+        # already sit at the bandwidth floor here; the kernel was removed
+        # rather than shipped dead (round-1 verdict: win or delete).
+        def masked_stats(mask):
+            cw = (mask.astype(dtype) if count_weights is None
+                  else jnp.where(mask, count_weights, 0.0))
+            n = jnp.sum(cw)
+            s = jnp.sum(jnp.where(mask, resid, 0.0))
+            return n, s
 
-    n_all, s_all = masked_stats(members)
-    n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
-    n_lo, s_lo = masked_stats(is_lft)                  # current left
-    if axis_name is not None:
-        # obs-sharded: one fused all-reduce carries every sufficient
-        # statistic of this tree update across the 'data' mesh axis
-        n_all, s_all, n_ln, s_ln, n_lo, s_lo = jax.lax.psum(
-            jnp.stack([n_all, s_all, n_ln, s_ln, n_lo, s_lo]), axis_name
-        )
+        n_all, s_all = masked_stats(members)
+        n_ln, s_ln = masked_stats(members & go_left_new)  # proposed left
+        n_lo, s_lo = masked_stats(is_lft)                  # current left
+    else:
+        # obs-sharded: ONE psum per tree update (the collective-latency
+        # floor of the sequential sweep) carrying [per-node sufficient
+        # statistics of the CURRENT partition | the 2 proposed-left
+        # scalars].  Everything else is derived: the remaining move
+        # scalars fall out of the current-partition per-node stats, and
+        # the ACCEPTED per-node stats (for the conjugate leaf draw) are
+        # the current ones corrected at the only 3 nodes whose
+        # membership changes (eta, lft, rgt) — corrections computable
+        # from the psum'd scalars, so no second reduction and no extra
+        # one-hot matmul over the proposed partition.
+        cw = (jnp.ones_like(resid) if count_weights is None
+              else count_weights.astype(dtype))
+        oh_old = node_onehot(leaf_idx, M, dtype)
+        mask_ln = members & go_left_new
+        cw_ln = jnp.where(mask_ln, cw, 0.0)
+        s_ln_loc = jnp.sum(jnp.where(mask_ln, resid, 0.0))
+        C = jnp.concatenate([
+            jnp.dot(jnp.stack([cw, resid]), oh_old,
+                    precision=jax.lax.Precision.HIGHEST),   # (2, M)
+            jnp.stack([jnp.sum(cw_ln), s_ln_loc])[:, None],
+        ], axis=1)
+        C = jax.lax.psum(C, axis_name)                      # (2, M+1)
+        counts_old, sums_old = C[0, :M], C[1, :M]
+        n_ln, s_ln = C[0, M], C[1, M]
+        # eta/lft/rgt picks as a (3, M) one-hot matmul (scalar gathers
+        # serialize on TPU)
+        sel = (node_ids[None, :]
+               == jnp.stack([eta, lft, rgt])[:, None]).astype(dtype)
+        v = jnp.dot(sel, C[:, :M].T,
+                    precision=jax.lax.Precision.HIGHEST)    # (3, 2)
+        n_all = jnp.where(do_grow, v[0, 0], v[1, 0] + v[2, 0])
+        s_all = jnp.where(do_grow, v[0, 1], v[1, 1] + v[2, 1])
+        n_lo, s_lo = v[1, 0], v[1, 1]
     n_rn, s_rn = n_all - n_ln, s_all - s_ln
     n_ro, s_ro = n_all - n_lo, s_all - s_lo
 
@@ -456,12 +501,31 @@ def _tree_move(cfg, tree, resid, ranks, split_probs, sigma2, tau2, rng,
     # change keeps children as leaves; grow creates them; prune removes
     new_feature = new_feature.at[lft].set(f_child).at[rgt].set(f_child)
     new_cut = cut.at[eta].set(jnp.where(do_prune, cut[eta], c_new))
-    dest = jnp.where(do_prune, eta, jnp.where(go_left_new, lft, rgt))
-    new_leaf_idx = jnp.where(members, dest, leaf_idx)
 
     pick = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
+    if axis_name is not None:
+        # accepted per-node stats = current-partition stats plus a
+        # 3-node correction (only eta/lft/rgt change membership),
+        # gated to zero on rejection — all terms already global
+        hi = jax.lax.Precision.HIGHEST
+        zero = jnp.zeros((), dtype)
+        d_n = jnp.stack([
+            jnp.where(do_prune, n_all, zero) - v[0, 0],
+            jnp.where(do_prune, zero, n_ln) - v[1, 0],
+            jnp.where(do_prune, zero, n_rn) - v[2, 0],
+        ])
+        d_s = jnp.stack([
+            jnp.where(do_prune, s_all, zero) - v[0, 1],
+            jnp.where(do_prune, zero, s_ln) - v[1, 1],
+            jnp.where(do_prune, zero, s_rn) - v[2, 1],
+        ])
+        gate = accept.astype(dtype)
+        stats_acc = (
+            counts_old + gate * jnp.dot(d_n, sel, precision=hi),
+            sums_old + gate * jnp.dot(d_s, sel, precision=hi),
+        )
     return (pick(new_feature, feature), pick(new_cut, cut),
-            pick(new_leaf_idx, leaf_idx))
+            pick(new_leaf_idx, leaf_idx), stats_acc)
 
 
 def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
@@ -534,11 +598,14 @@ def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
     new_leaf_idx = walk_tree(new_feature, new_cut, ranks, cfg.max_depth)
 
     counts_old, sums_old = leaf_stats(leaf_idx, resid, M,
-                                      count_weights=count_weights,
-                                      axis_name=axis_name)
+                                      count_weights=count_weights)
     counts_new, sums_new = leaf_stats(new_leaf_idx, resid, M,
-                                      count_weights=count_weights,
-                                      axis_name=axis_name)
+                                      count_weights=count_weights)
+    if axis_name is not None:
+        # one fused allreduce for both partitions' per-node statistics
+        counts_old, sums_old, counts_new, sums_new = jax.lax.psum(
+            jnp.stack([counts_old, sums_old, counts_new, sums_new]),
+            axis_name)
     leaf_old = (feature == LEAF) & in_sub
     leaf_new = (new_feature == LEAF) & in_sub
     m_old = jnp.sum(jnp.where(
@@ -559,8 +626,11 @@ def _subtree_regrow(cfg, tree, resid, ranks, split_probs, sigma2, tau2,
               & (jnp.log(u_acc) < log_accept))
 
     pick = lambda new, old: jnp.where(accept, new, old)  # noqa: E731
+    # accepted per-node stats ride along so callers' conjugate leaf
+    # draws need no further reduction (same contract as _tree_move)
+    stats_acc = (pick(counts_new, counts_old), pick(sums_new, sums_old))
     return (pick(new_feature, feature), pick(new_cut, cut),
-            pick(new_leaf_idx, leaf_idx))
+            pick(new_leaf_idx, leaf_idx), stats_acc)
 
 
 def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
@@ -610,14 +680,12 @@ def regrow_refresh(cfg: BartConfig, state: BartState, y_target, ranks,
         fit_j = jnp.dot(oh_j, tree_fit, precision=hi)
         resid = y_target - allfit + fit_j
         wres = resid if w is None else w * resid
-        f2, c2, li2 = _subtree_regrow(
+        f2, c2, li2, (counts, sums) = _subtree_regrow(
             cfg_on, (f_j, c_j, li_j), wres, ranks, split_probs,
             sigma2, tau2, kmv, depths, p_split, dtype,
             count_weights=w, axis_name=axis_name,
         )
         onehot_new = node_onehot(li2, M, dtype)
-        counts, sums = leaf_stats(li2, wres, M, count_weights=w,
-                                  onehot=onehot_new, axis_name=axis_name)
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         mu = post_mean + jnp.sqrt(post_var) * jax.random.normal(
@@ -715,7 +783,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         # weighted sufficient statistics: (sum w, sum w r) with w = 1 o.w.
         wresid = resid if w is None else w * resid
 
-        feature_j, cut_j, leaf_idx_j = _tree_move(
+        feature_j, cut_j, leaf_idx_j, stats = _tree_move(
             cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
             split_probs, sigma2, tau2, rng_move, depths, p_split, dtype,
             count_weights=w, u6=u6_j, axis_name=axis_name,
@@ -723,7 +791,7 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         if cfg.p_regrow > 0 and variates is None:
             # composed second MH kernel per tree update (valid
             # Metropolis-within-Gibbs composition)
-            feature_j, cut_j, leaf_idx_j = _subtree_regrow(
+            feature_j, cut_j, leaf_idx_j, stats = _subtree_regrow(
                 cfg, (feature_j, cut_j, leaf_idx_j), wresid, ranks,
                 split_probs, sigma2, tau2, rng_regrow, depths, p_split,
                 dtype, count_weights=w, axis_name=axis_name,
@@ -737,9 +805,13 @@ def bart_sweep(cfg: BartConfig, state: BartState, y_target, ranks,
         # materialized in HBM), while a (TILE_N, 1) column layout wastes
         # 127/128 VPU lanes.  Keep the one-hot matmul formulation.
         onehot_new = node_onehot(leaf_idx_j, M, dtype)
-        counts, sums = leaf_stats(leaf_idx_j, wresid, M,
-                                  count_weights=w, onehot=onehot_new,
-                                  axis_name=axis_name)
+        if stats is None:
+            counts, sums = leaf_stats(leaf_idx_j, wresid, M,
+                                      count_weights=w, onehot=onehot_new)
+        else:
+            # the move kernel already carries the accepted (possibly
+            # psum'd) per-node statistics — no second reduction
+            counts, sums = stats
         post_var = 1.0 / (counts / sigma2 + 1.0 / tau2)
         post_mean = post_var * sums / sigma2
         noise = (jax.random.normal(rng_mu, (M,), dtype)

@@ -179,3 +179,38 @@ def test_obs_shards_requires_gram():
             bart_args={"n.trees": 3},
             stan_args={"obs_shards": 4, "gram_lik": False},
         )
+
+
+def test_single_psum_per_tree_update(prog):
+    """The obs-sharded sweep must issue exactly ONE collective per tree
+    update (round-5 demand: the naive form needs two — move scalars,
+    then leaf statistics — and on real ICI the sweep's sequential
+    dependency makes per-tree collective LATENCY the scaling floor).
+    Pinned on the traced program: the per-tree scan body of bart_sweep
+    under an obs axis contains a single psum site."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from stan4bart_tpu.ops import bart as B
+
+    mesh = chain_data_mesh(1, 2)
+    cfg = prog.bart_cfg
+    N = prog.N // 2  # local shard
+    state = B.bart_init(cfg, N)
+    sp = jnp.full(prog.ranks.shape[1], 1.0 / prog.ranks.shape[1])
+
+    def local_sweep(y, ranks):
+        st, _ = B.bart_sweep(
+            cfg, state, y, ranks, sp, jnp.asarray(1.0),
+            jax.random.PRNGKey(0), axis_name="data")
+        return st.allfit
+
+    f = jax.shard_map(
+        local_sweep, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False)
+    txt = str(jax.make_jaxpr(f)(
+        jnp.zeros(prog.N), jnp.zeros((prog.N, prog.ranks.shape[1]),
+                                     dtype=jnp.int32)))
+    assert txt.count("psum") == 1, (
+        f"expected exactly 1 psum site in the per-tree sweep body, "
+        f"found {txt.count('psum')}")

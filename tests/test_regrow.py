@@ -118,13 +118,13 @@ def test_regrow_matches_enumerated_posterior():
     w8 = jnp.asarray(8 ** np.arange(7), jnp.int64)
 
     def step(tree, key):
-        tree = B._subtree_regrow(
+        feature, cut, leaf_idx, _ = B._subtree_regrow(
             cfg, tree, y_j, ranks_j, sp,
             jnp.asarray(sigma2, jnp.float64),
             jnp.asarray(tau2, jnp.float64),
             key, depths, p_split, jnp.float64,
         )
-        feature, cut, _ = tree
+        tree = (feature, cut, leaf_idx)
         code = jnp.sum(((feature + 2) * 2 + cut).astype(jnp.int64) * w8)
         return tree, code
 
