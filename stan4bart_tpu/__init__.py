@@ -38,4 +38,4 @@ from stan4bart_tpu.parallel.diagnostics import ess, split_rhat  # noqa: F401
 from stan4bart_tpu.results import Stan4bartFit  # noqa: F401
 from stan4bart_tpu.utils.friedman import generate_friedman_data  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
