@@ -569,26 +569,20 @@ def stan4bart(
 
     run_info = None
     t_start = _time.perf_counter()
-    if jax.process_count() > 1:
-        # multi-host SPMD: every process runs this same program; chains
-        # shard over the global mesh (DCN across hosts), draws all-gather
-        # back to every host (parallel.multihost; replaces the reference's
-        # PSOCK cluster, stan4bart_fit.R:495-558)
-        from stan4bart_tpu.parallel.multihost import run_chains_multihost
-
-        final_states, draws = run_chains_multihost(
-            prog, np.asarray(keys), bart_offset_init=boi,
-            sigma_init=sigma_init, keep_warmup=True, callback=cb,
-        )
-    elif resolved_stan_args.obs_shards >= 2:
+    if resolved_stan_args.obs_shards >= 2:
         # explicit 2-D chains x data shard_map: one obs shard per device,
         # every sufficient statistic a hand-placed psum over 'data' — the
         # multi-chip large-n path (the reference's only big-axis answer
-        # is single-core CSR, continuous.hpp:1176-1197)
+        # is single-core CSR, continuous.hpp:1176-1197).  The mesh spans
+        # the GLOBAL device set, so under multi-process (jax.distributed)
+        # this same dispatch composes observation sharding with the
+        # multi-host chain axis: obs-shard groups ride ICI within a
+        # host, independent chain groups span DCN.
         from stan4bart_tpu.parallel.mesh import (
             chain_data_mesh,
             run_chains_obs_sharded,
         )
+        from stan4bart_tpu.parallel.multihost import gather
 
         if cb is not None:
             raise ValueError(
@@ -600,16 +594,39 @@ def stan4bart(
         n_dev = len(jax.devices())
         if n_dev % n_data != 0:
             raise ValueError(
-                f"obs_shards ({n_data}) must divide the device count "
-                f"({n_dev})"
+                f"obs_shards ({n_data}) must divide the global device "
+                f"count ({n_dev})"
             )
         n_chain = max(n_dev // n_data, 1)
         while chains % n_chain != 0:  # chain mesh must divide the chains
             n_chain -= 1
-        final_states, draws = run_chains_obs_sharded(
+        if jax.process_count() > 1:
+            lcl = len(jax.local_devices())
+            if n_data > lcl and lcl % n_data != 0 and n_data % lcl != 0:
+                raise ValueError(
+                    f"obs_shards ({n_data}) must nest with the per-host "
+                    f"device count ({lcl}) so obs-shard groups do not "
+                    f"straddle hosts unaligned"
+                )
+        final_states, draws, run_info = run_chains_obs_sharded(
             prog, keys, mesh=chain_data_mesh(n_chain, n_data),
             bart_offset_init=boi, sigma_init=sigma_init,
-            keep_warmup=True,
+            keep_warmup=True, chunk_size=chunk_size,
+        )
+        if jax.process_count() > 1:
+            # all-gather the sharded draw pytree to every host (the
+            # final states stay sharded, like the multihost chain path)
+            draws = gather(draws)
+    elif jax.process_count() > 1:
+        # multi-host SPMD: every process runs this same program; chains
+        # shard over the global mesh (DCN across hosts), draws all-gather
+        # back to every host (parallel.multihost; replaces the reference's
+        # PSOCK cluster, stan4bart_fit.R:495-558)
+        from stan4bart_tpu.parallel.multihost import run_chains_multihost
+
+        final_states, draws = run_chains_multihost(
+            prog, np.asarray(keys), bart_offset_init=boi,
+            sigma_init=sigma_init, keep_warmup=True, callback=cb,
         )
     elif cores is not None and cores > 1 and len(jax.devices()) > 1:
         # the reference's chain-over-cores parallelism mapped to a device

@@ -71,9 +71,23 @@ def main():
         fit.draws.stan[:, fit.warmup:],
         [fit._name_idx["aux.1"], fit._name_idx["lp__"]],
     )
+
+    # multi-process x observation-sharding composition: the 2-D
+    # chains x data mesh spans BOTH processes (2 chain groups across
+    # DCN x 2 obs shards within each process's devices); every
+    # sufficient statistic psums over 'data' while draws all-gather
+    # at the end (round-5 composition of the two multi-chip axes)
+    fit_obs = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=2, warmup=10, iter=25, seed=43, verbose=-1,
+        bart_args={"n.trees": 4},
+        stan_args={"obs_shards": 2},
+    )
+    ev_obs = fit_obs.extract("ev")
     if pid == 0:
         np.savez(out, ev=ev, sigma=sigma, rhat=diag["rhat"],
-                 ess=diag["ess"], ev32=ev32)
+                 ess=diag["ess"], ev32=ev32, ev_obs=ev_obs,
+                 stan_obs=fit_obs.draws.stan)
     # all processes must reach the end together (gather is collective)
     print(f"worker {pid}: done", flush=True)
 

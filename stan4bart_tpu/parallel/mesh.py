@@ -32,7 +32,13 @@ def chain_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def chain_data_mesh(n_chain_shards: int, n_data_shards: int) -> Mesh:
-    """2-D mesh: chains x observations."""
+    """2-D mesh: chains x observations.
+
+    ``jax.devices()`` is the GLOBAL device list, so under multi-process
+    (jax.distributed) this mesh spans every host's chips: laid out with
+    'data' innermost so each obs-shard group rides ICI within a host
+    wherever n_data_shards divides the per-host chip count, and the
+    chains axis (no mid-run communication) crosses DCN."""
     devices = np.asarray(
         jax.devices()[: n_chain_shards * n_data_shards]
     ).reshape(n_chain_shards, n_data_shards)
@@ -211,9 +217,30 @@ def _obs_draw_specs(draw):
     return d._replace(bart_train=P(None, "chains", "data"))
 
 
+def prepare_obs_inputs(prog, mesh: Mesh, bart_offset_init=None):
+    """Build the padded obs-sharded input set ONCE and place it on the
+    mesh with its target sharding (P('data')): repeated run_obs_sharded
+    calls (warmup + sampling, or chunked execution) reuse the same
+    device buffers instead of re-transferring the full (N, D) input set
+    per call.  Under multi-process the same call assembles GLOBAL arrays
+    (each process materializes only its addressable shards) — this is
+    what composes observation sharding with jax.distributed."""
+    n_data = mesh.shape["data"]
+    inputs, meta = _obs_shard_inputs(prog, n_data,
+                                     bart_offset_init=bart_offset_init)
+    from stan4bart_tpu.parallel.multihost import make_global
+
+    sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        inputs = jax.tree_util.tree_map(lambda a: make_global(a, sh),
+                                        inputs)
+    return inputs, meta
+
+
 def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
                     is_warmup: bool = False, state=None,
-                    bart_offset_init=None, sigma_init: float = 1.0):
+                    bart_offset_init=None, sigma_init: float = 1.0,
+                    prepared=None):
     """Run n_iters Gibbs iterations with chains sharded over 'chains' AND
     observations sharded over 'data' (2-D mesh), as an EXPLICIT
     ``shard_map`` program: every device holds one obs shard of
@@ -234,10 +261,16 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
     divisible by the data-mesh size is padded with weight-0 replicas of
     row 0 (exactly equivalent likelihood; see _obs_shard_inputs).
 
+    Runs under multi-process too (mesh over the global device set): the
+    inputs/keys are assembled as global arrays and the returned draws
+    stay sharded — gather them with parallel.multihost.gather.
+
+    prepared: optional (inputs, meta) from ``prepare_obs_inputs`` —
+    reuses the placed input buffers across calls.
+
     Returns (final_states, draws); draws.bart_train is sliced back to
     the true N, final state obs buffers keep the padded length (feed
     them back to this driver only)."""
-    n_data = mesh.shape["data"]
     n_chain = mesh.shape["chains"]
     chains = keys.shape[0]
     if chains % n_chain != 0:
@@ -245,9 +278,15 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
             f"chains ({chains}) must be a multiple of the chain-mesh "
             f"size ({n_chain})"
         )
-    inputs, meta = _obs_shard_inputs(prog, n_data,
-                                     bart_offset_init=bart_offset_init)
+    if prepared is None:
+        prepared = prepare_obs_inputs(prog, mesh,
+                                      bart_offset_init=bart_offset_init)
+    inputs, meta = prepared
     Np = meta["Np"]
+    from stan4bart_tpu.parallel.multihost import make_global
+
+    keys = make_global(np.asarray(keys),
+                       NamedSharding(mesh, P("chains")))
 
     in_data_specs = jax.tree_util.tree_map(lambda _: P("data"), inputs)
 
@@ -305,27 +344,80 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
 
 def run_chains_obs_sharded(prog, keys, mesh: Mesh, bart_offset_init=None,
                            sigma_init: float = 1.0,
-                           keep_warmup: bool = True):
+                           keep_warmup: bool = True,
+                           chunk_size: int | None = None):
     """Full fit protocol — warmup, adaptation disengage, sampling — on
     the explicit 2-D chains x data shard_map (run_obs_sharded).  Matches
-    the (final_states, draws) contract of run_chains_sharded: draws come
-    back (chains, iters, ...) with the warmup prefix when keep_warmup."""
-    state, warm = run_obs_sharded(
-        prog, keys, mesh, prog.warmup, is_warmup=True,
-        bart_offset_init=bart_offset_init, sigma_init=sigma_init,
-    )
-    # the freeze touches only per-chain NUTS fields (replicated over
-    # 'data'), so it runs as a plain jit over the global state
-    state = jax.jit(prog._disengage)(state)
-    state, samp = run_obs_sharded(
-        prog, keys, mesh, prog.iterations, is_warmup=False, state=state,
-    )
+    the (final_states, draws, run_info) contract of run_chains_chunked:
+    draws come back (chains, iters, ...) with the warmup prefix when
+    keep_warmup; run_info carries REAL measured per-phase wall clock.
 
-    def merge(w, s):
-        out = jnp.concatenate([w, s], axis=0) if keep_warmup else s
-        return jnp.swapaxes(out, 0, 1)   # (iters, chains) -> (chains, iters)
+    chunk_size bounds the iterations per compiled device execution (the
+    axon-tunnel chip kills executions past ~60 s); each phase threads the
+    padded state across <= chunk_size pieces (exact: pinned by
+    tests/test_obs_sharding state-threading parity).  KeyboardInterrupt
+    between chunks yields a valid partial fit (completed chunks only).
+    The padded input set is built and placed ONCE and reused by every
+    chunk of both phases."""
+    import time as _time
 
-    draws = jax.tree_util.tree_map(merge, warm, samp)
+    prepared = prepare_obs_inputs(prog, mesh,
+                                  bart_offset_init=bart_offset_init)
+
+    def run_phase(n_total, is_warmup, state):
+        pieces = []
+        done = 0
+        interrupted = False
+        step_sz = n_total if chunk_size is None else max(int(chunk_size), 1)
+        try:
+            while done < n_total:
+                n = min(step_sz, n_total - done)
+                state, d = run_obs_sharded(
+                    prog, keys, mesh, n, is_warmup=is_warmup,
+                    state=state, sigma_init=sigma_init,
+                    prepared=prepared,
+                )
+                jax.block_until_ready(d.stan)
+                pieces.append(d)
+                done += n
+        except KeyboardInterrupt:
+            interrupted = True
+        if not pieces:
+            return state, None, 0, interrupted
+        draws = (pieces[0] if len(pieces) == 1 else
+                 jax.tree_util.tree_map(
+                     lambda *xs: jnp.concatenate(xs, axis=0), *pieces))
+        return state, draws, done, interrupted
+
+    t0 = _time.perf_counter()
+    state, warm, warm_done, interrupted = run_phase(
+        prog.warmup, True, None)
+    warmup_s = _time.perf_counter() - t0
+    samp, samp_done = None, 0
+    if not interrupted:
+        # the freeze touches only per-chain NUTS fields (replicated over
+        # 'data'), so it runs as a plain jit over the global state
+        state = jax.jit(prog._disengage)(state)
+        state, samp, samp_done, interrupted = run_phase(
+            prog.iterations, False, state)
+    sample_s = _time.perf_counter() - t0 - warmup_s
+
+    swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731 (iters, chains) ->
+    t = jax.tree_util.tree_map
+    if warm is None and samp is None:
+        raise KeyboardInterrupt("interrupted before any chunk completed")
+    if samp is None:
+        draws = t(swap, warm)
+    elif warm is None or not keep_warmup:
+        draws = t(swap, samp)
+    else:
+        draws = t(lambda w, s: swap(jnp.concatenate([w, s], axis=0)),
+                  warm, samp)
+    run_info = {
+        "warmup_s": warmup_s, "sample_s": sample_s,
+        "warmup_done": warm_done, "sample_done": samp_done,
+        "interrupted": interrupted,
+    }
     n = prog.N
     if state.bart.allfit.shape[-1] != n:
         # slice the weight-0 pad rows off the final state so it is a
@@ -342,4 +434,4 @@ def run_chains_obs_sharded(prog, keys, mesh: Mesh, bart_offset_init=None,
             stan_offset=state.stan_offset[..., :n],
             latents=state.latents[..., :n],
         )
-    return state, draws
+    return state, draws, run_info

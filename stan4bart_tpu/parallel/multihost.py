@@ -190,9 +190,9 @@ def sharded_diagnostics(draws_stan, param_idx, mesh: Mesh | None = None):
     def diag(stan):
         sel = stan[..., idx]                 # (chains, iter, k)
         rhat = split_rhat(sel)
-        ess_vals = jnp.stack([
-            ess(sel[:, :, j]) for j in range(len(param_idx))
-        ])
+        # vmapped over parameters (one fused program, not O(P) separate
+        # FFT dispatches — same fix as results.summary, round 3)
+        ess_vals = jax.vmap(ess, in_axes=2)(sel)
         return dict(rhat=rhat, ess=ess_vals)
 
     out = diag(draws_stan)

@@ -89,3 +89,19 @@ def test_two_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(data["ev32"][:, :8],
                                fit32.extract("ev")[:, :8],
                                rtol=2e-2, atol=2e-2)
+
+    # multi-process x obs-sharding composition: the worker's 2-process
+    # (2 chains x 2 data) global-mesh fit must match the same
+    # obs_shards=2 fit run single-process (same seed, same 2-shard
+    # psum reduction structure -> f64 parity)
+    fit_obs = s4b.stan4bart(
+        "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+        chains=2, warmup=10, iter=25, seed=43, verbose=-1,
+        bart_args={"n.trees": 4},
+        stan_args={"obs_shards": 2},
+    )
+    np.testing.assert_allclose(data["stan_obs"],
+                               np.asarray(fit_obs.draws.stan),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(data["ev_obs"], fit_obs.extract("ev"),
+                               rtol=1e-6, atol=1e-8)
