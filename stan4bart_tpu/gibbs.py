@@ -1612,6 +1612,74 @@ class GibbsProgram:
         )
         return states, merged, info
 
+    def continue_chunked(self, states, iterations: int,
+                         chunk_size: int | None = None,
+                         progress=None):
+        """Sampling-phase continuation from an existing chain-batched
+        state (the resume path of ``Stan4bartFit.continue_sampling``):
+        the same driver ladder as ``run_chains_chunked`` — chain-blocked
+        fused Pallas sweep when the program carries it, the vmapped
+        per-chain step otherwise — with every device execution bounded
+        by ``chunk_size`` iterations (the axon tunnel kills executions
+        past ~60 s, so an unchunked long resume would die at chip
+        scale) and KeyboardInterrupt between chunks returning the draws
+        completed so far.  Returns (states, draws, info); draws are
+        chain-major numpy, info carries measured wall clock."""
+        import time
+
+        import numpy as np
+
+        iterations = int(iterations)
+        if chunk_size is None:
+            chunk_size = iterations
+
+        def chunk(state, it0, n):
+            def body(state, i):
+                return self.step(state, it0 + i, False)
+
+            return jax.lax.scan(body, state, jnp.arange(n))
+
+        def chunk_batched(states, it0, n):
+            def body(states, i):
+                return self.step_batched(states, it0 + i, False)
+
+            states, draws = jax.lax.scan(body, states, jnp.arange(n))
+            return states, jax.tree_util.tree_map(
+                lambda a: jnp.swapaxes(a, 0, 1), draws)
+
+        if self.sweep_consts is not None:
+            fn = jax.jit(chunk_batched, static_argnums=(2,))
+        else:
+            fn = jax.jit(jax.vmap(
+                chunk, in_axes=(0, None, None), axis_name="chains"),
+                static_argnums=(2,))
+
+        pieces = []
+        info = {"sample_s": 0.0, "sample_done": 0, "interrupted": False}
+        try:
+            for it0 in range(0, iterations, int(chunk_size)):
+                n = min(int(chunk_size), iterations - it0)
+                t0 = time.perf_counter()
+                states, draws = jax.block_until_ready(fn(states, it0, n))
+                info["sample_s"] += time.perf_counter() - t0
+                info["sample_done"] = it0 + n
+                pieces.append(jax.tree_util.tree_map(np.asarray, draws))
+                if progress is not None:
+                    progress("sample", it0 + n, iterations)
+        except KeyboardInterrupt:
+            if not pieces:
+                raise
+            info["interrupted"] = True
+            import warnings
+
+            warnings.warn(
+                "continue_sampling interrupted: returning the "
+                f"{info['sample_done']} draws completed so far"
+            )
+        merged = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *pieces)
+        return states, merged, info
+
     def run_chains_batched(self, keys, bart_offset_init=None,
                            sigma_init=1.0, keep_warmup: bool = True,
                            chain_block: int = 8):

@@ -454,14 +454,30 @@ class Stan4bartFit:
             self._flatten(self._log_lik_raw(include_warmup),
                           combine_chains), "train")
 
-    def loo(self, include_warmup: bool = False) -> dict:
+    def loo(self, include_warmup: bool = False,
+            use_r_eff: bool = True) -> dict:
         """PSIS-LOO expected log predictive density (loo.py): elpd_loo,
         p_loo, looic with standard errors, plus per-observation
-        pareto_k diagnostics (k > 0.7 flags unreliable points)."""
-        from .loo import psis_loo
+        pareto_k diagnostics (k > 0.7 flags unreliable points).
 
-        ll = self._flatten(self._log_lik_raw(include_warmup), True)
-        out = psis_loo(ll)
+        use_r_eff: correct the PSIS tail length for MCMC
+        autocorrelation with the per-observation relative efficiency
+        ESS/S computed from the chain-structured draws (the loo
+        package's r_eff); False assumes independent draws."""
+        import jax
+
+        from .loo import psis_loo
+        from .parallel.diagnostics import ess
+
+        raw = self._log_lik_raw(include_warmup)     # (chains, iter, n)
+        ll = self._flatten(raw, True)
+        r_eff = None
+        if use_r_eff and raw.shape[0] * raw.shape[1] >= 8:
+            S = raw.shape[0] * raw.shape[1]
+            r_eff = np.asarray(
+                jax.jit(jax.vmap(ess, in_axes=2))(np.asarray(raw))
+            ) / S
+        out = psis_loo(ll, r_eff=r_eff)
         if out["n_high_k"]:
             warnings.warn(
                 f"{out['n_high_k']} of {out['n_obs']} observations have "
@@ -785,27 +801,32 @@ class Stan4bartFit:
         with open(path, "rb") as f:
             return pickle.load(f)
 
-    def continue_sampling(self, iterations: int) -> "Stan4bartFit":
+    def continue_sampling(self, iterations: int,
+                          chunk_size: int | None = None) -> "Stan4bartFit":
         """Resume the chains from their final state for ``iterations`` more
-        post-warmup draws; returns a new fit with the draws appended."""
+        post-warmup draws; returns a new fit with the draws appended.
+
+        Runs through the production driver ladder (GibbsProgram.
+        continue_chunked): the chain-blocked fused sweep when the fit
+        was built with it, auto-chunked executions on time-capped
+        backends (the axon tunnel kills single executions past ~60 s),
+        and interrupt-safe partial resumes — the same machinery as
+        ``stan4bart()`` itself, so resume works at chip scale."""
         import jax
-        import jax.numpy as jnp
         from dataclasses import replace
 
         if self.final_states is None:
             raise ValueError("no final sampler state was stored")
         prog = self.prog
+        if (chunk_size is None and jax.process_count() == 1
+                and jax.default_backend() in ("tpu", "axon")):
+            from stan4bart_tpu.fit import _auto_chunk_size
 
-        def more(state):
-            def body(state, it):
-                return prog.step(state, it, False)
-
-            return jax.lax.scan(body, state, jnp.arange(int(iterations)))
-
-        states, new_draws = jax.jit(
-            jax.vmap(more, axis_name="chains")
-        )(self.final_states)
-        new_draws = jax.tree_util.tree_map(np.asarray, new_draws)
+            chunk_size = _auto_chunk_size(
+                prog.N, prog.bart_cfg.num_trees, self.chains,
+                prog.skip_bart)
+        states, new_draws, _ = prog.continue_chunked(
+            self.final_states, iterations, chunk_size)
         if self.qr_unrotated:
             # stored draws are already in original coordinates; bring the
             # fresh draws to match before merging (never re-rotate stored)

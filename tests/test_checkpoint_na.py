@@ -102,3 +102,28 @@ def test_na_omit_drops():
                         na_action="omit", bart_args={"n.trees": 4})
     assert fit.mf.N == 88
     assert fit.extract("ev").shape[0] == 88
+
+
+def test_continue_sampling_chunked_equals_single_execution():
+    """Resume through the production chunked driver (round-5: resume
+    previously bypassed chunking and died on time-capped backends):
+    chunk boundaries must not change the resumed draws, and the fused
+    chain-blocked driver must be selected for sweep-kernel fits."""
+    df = friedman_dataframe(generate_friedman_data(80, ranef=True))
+    fit = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, chains=2,
+                        warmup=15, iter=30, seed=4, verbose=-1,
+                        bart_args={"n.trees": 5})
+    whole = fit.continue_sampling(12)
+    chunked = fit.continue_sampling(12, chunk_size=5)
+    np.testing.assert_array_equal(whole.draws.stan, chunked.draws.stan)
+    np.testing.assert_array_equal(whole.draws.bart_train,
+                                  chunked.draws.bart_train)
+
+    # fused-kernel fit resumes on the chain-blocked batched driver
+    fit32 = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                          chains=2, warmup=10, iter=20, seed=4,
+                          verbose=-1, dtype="float32",
+                          bart_args={"n.trees": 5, "sweep_kernel": True})
+    more = fit32.continue_sampling(8, chunk_size=3)
+    assert more.iterations == fit32.iterations + 8
+    assert np.all(np.isfinite(more.extract("sigma")))
