@@ -25,6 +25,7 @@ re-applied to new data for test frames / ``predict``.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -474,9 +475,41 @@ def build_model_frame(
     )
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_.][A-Za-z0-9_.]*")
+
+
+def _required_vars(parsed: ParsedFormula) -> set:
+    """Column names the formula's non-response side needs — identifiers
+    appearing in fixed/bart/offset/random terms, minus the functions of
+    the formula eval namespace."""
+    exprs = (list(parsed.fixed_terms) + list(parsed.bart_terms)
+             + list(parsed.offset_terms))
+    for rt in parsed.random_terms:
+        exprs += list(rt.lhs_terms) + [rt.group]
+    names: set = set()
+    for e in exprs:
+        names.update(_IDENT_RE.findall(e))
+    names = {n for n in names if not n.startswith("np.")}
+    return names - set(_EVAL_NS) - {"True", "False", "offset"}
+
+
 def _build_test_frame(mf: ModelFrame, newdata) -> TestFrame:
-    """Re-encode new data with the training codecs (test_data.R:1-160)."""
+    """Re-encode new data with the training codecs (test_data.R:1-160).
+
+    Missing columns raise a single explicit error up front (the
+    reference's validated-newdata semantics, generics.R:514-523) instead
+    of a raw KeyError from deep inside a term encoder; extra columns are
+    ignored (encoding is name-based, so order never matters)."""
     cols = _as_columns(newdata)
+    missing = sorted(v for v in _required_vars(mf.parsed)
+                     if v not in cols)
+    if missing:
+        raise ValueError(
+            "newdata is missing required column(s) "
+            f"{', '.join(repr(m) for m in missing)} used by the model "
+            f"formula {mf.parsed.raw!r}; extra columns are ignored and "
+            "column order does not matter"
+        )
     n_new = len(next(iter(cols.values())))
 
     fixed_enc = _TermEncoder(contrasts=True)

@@ -68,18 +68,25 @@ def gpdfit(x: np.ndarray) -> tuple[float, float]:
     return k_hat, sigma
 
 
-def psis_smooth(log_ratios: np.ndarray) -> tuple[np.ndarray, float]:
+def psis_smooth(log_ratios: np.ndarray,
+                r_eff: float = 1.0) -> tuple[np.ndarray, float]:
     """Pareto-smooth ONE observation's log importance ratios.
 
     Returns (log weights normalized to max 0, k_hat).  Follows
-    arXiv:1507.02646: tail size M = min(0.2 S, 3 sqrt(S)); the M
-    largest ratios are replaced by GPD quantiles at the expected order
-    statistics and truncated at the raw maximum.
+    arXiv:1507.02646: tail size M = min(0.2 S, 3 sqrt(S / r_eff)); the
+    M largest ratios are replaced by GPD quantiles at the expected
+    order statistics and truncated at the raw maximum.
+
+    r_eff: relative efficiency ESS/S of the (autocorrelated MCMC)
+    draws — the loo package's correction making the effective tail
+    longer for poorly-mixing chains so pareto_k does not understate
+    tail risk; 1.0 = independent draws.
     """
     lr = np.asarray(log_ratios, dtype=np.float64)
     S = lr.size
     lw = lr - lr.max()
-    M = int(min(np.ceil(0.2 * S), np.ceil(3.0 * np.sqrt(S))))
+    r_eff = min(max(float(r_eff), 1e-3), 1.0)
+    M = int(min(np.ceil(0.2 * S), np.ceil(3.0 * np.sqrt(S / r_eff))))
     if M < 5 or S < 25:
         return lw, -np.inf  # too few draws to fit a tail
     order = np.argsort(lw)
@@ -102,8 +109,14 @@ def psis_smooth(log_ratios: np.ndarray) -> tuple[np.ndarray, float]:
     return lw, k_hat
 
 
-def psis_loo(log_lik: np.ndarray) -> dict:
+def psis_loo(log_lik: np.ndarray, r_eff=None) -> dict:
     """PSIS-LOO from a pointwise log-likelihood matrix (n, S).
+
+    r_eff: per-observation relative efficiency ESS/S of the draws
+    (scalar or (n,) array; ``Stan4bartFit.loo`` computes it from the
+    chain-structured draws).  None assumes independent draws (r_eff=1)
+    — with autocorrelated MCMC input that can understate tail risk, so
+    pass the real value when chains mix slowly.
 
     Returns the loo-package summary: elpd_loo / p_loo with standard
     errors, the looic, per-observation pareto_k diagnostics, and
@@ -114,11 +127,13 @@ def psis_loo(log_lik: np.ndarray) -> dict:
     if ll.ndim != 2:
         raise ValueError("log_lik must be (n_obs, draws)")
     n, S = ll.shape
+    r = np.broadcast_to(
+        np.asarray(1.0 if r_eff is None else r_eff, np.float64), (n,))
     elpd_i = np.empty(n)
     k_hat = np.empty(n)
     lppd_i = logsumexp(ll, axis=1) - np.log(S)
     for i in range(n):
-        lw, k_hat[i] = psis_smooth(-ll[i])
+        lw, k_hat[i] = psis_smooth(-ll[i], r_eff=r[i])
         lw = lw - logsumexp(lw)
         elpd_i[i] = logsumexp(ll[i] + lw)
     p_loo_i = lppd_i - elpd_i

@@ -979,6 +979,11 @@ def bart_sweep_fused_batch(cfg: BartConfig, state: BartState, y_target,
     tb = int(os.environ.get("S4B_SWEEP_TB", "1"))
     if consts.n_slices > 1 or cb * NPAD > 82944 or tb < 1:
         tb = 1
+    # enforce the stated VMEM budget rather than trusting the env value:
+    # the tb-blocked lidx/tfit in+out pairs cost ~16*tb*cb*NPAD bytes
+    # double-buffered beside the ~7M fixed body live set; keep them
+    # under ~8M of the 16M scoped stack
+    tb = max(1, min(tb, 8_000_000 // (16 * cb * NPAD)))
 
     feato, cuto, lvo, lidxo, tfito, resido = _sweep_call_batch(
         cfg, featp, cutp, lvp, lidxp, tfitp, resid0,

@@ -106,3 +106,23 @@ def test_auto_chunk_size_bounds():
     assert big * est_iter_s <= 25.0
     # never below 1 even when a single iteration exceeds the budget
     assert _auto_chunk_size(10**7, 1000, 1024, 5) == 1
+
+
+def test_predict_missing_column_friendly_error():
+    """Missing newdata columns raise one explicit error naming them
+    (reference generics.R:514-523 newdata validation), not a raw
+    KeyError from inside a term encoder; extra columns are ignored and
+    order does not matter."""
+    df = _df()
+    fit = s4b.stan4bart(FORMULA, df, chains=1, warmup=6, iter=12,
+                        seed=11, verbose=-1,
+                        bart_args={"n.trees": 3, "keep_trees": True})
+    bad = {k: np.asarray(v)[:10] for k, v in df.items() if k != "X2"}
+    with pytest.raises(ValueError, match="missing required column.*'X2'"):
+        fit.predict(bad)
+    # extra columns + shuffled order: fine (name-based encoding)
+    good = {k: np.asarray(v)[:10] for k, v in df.items()}
+    good["unrelated"] = np.arange(10.0)
+    good = dict(reversed(list(good.items())))
+    p = fit.predict(good)
+    assert np.all(np.isfinite(p))
