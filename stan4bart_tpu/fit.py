@@ -624,10 +624,14 @@ def stan4bart(
         # PSOCK cluster, stan4bart_fit.R:495-558)
         from stan4bart_tpu.parallel.multihost import run_chains_multihost
 
+        phase_times = {}
         final_states, draws = run_chains_multihost(
             prog, np.asarray(keys), bart_offset_init=boi,
             sigma_init=sigma_init, keep_warmup=True, callback=cb,
+            timings=phase_times,
         )
+        run_info = dict(phase_times, interrupted=False,
+                        warmup_done=warmup)
     elif cores is not None and cores > 1 and len(jax.devices()) > 1:
         # the reference's chain-over-cores parallelism mapped to a device
         # mesh (stan4bart_fit.R:495-558 -> parallel.mesh)
@@ -640,19 +644,22 @@ def stan4bart(
         n_dev = min(int(cores), len(jax.devices()), chains)
         while chains % n_dev != 0:  # mesh size must divide the chain count
             n_dev -= 1
+        phase_times = {}
         if prog.sweep_consts is not None and sharded_batched_ok:
             # fused Pallas sweep on every chip via shard_map
             final_states, draws = run_chains_batched_sharded(
                 prog, keys, mesh=chain_mesh(n_dev),
                 bart_offset_init=boi, sigma_init=sigma_init,
-                keep_warmup=True,
+                keep_warmup=True, timings=phase_times,
             )
         else:
             final_states, draws = run_chains_sharded(
                 prog, keys, mesh=chain_mesh(n_dev),
                 bart_offset_init=boi, sigma_init=sigma_init,
-                keep_warmup=True, callback=cb,
+                keep_warmup=True, callback=cb, timings=phase_times,
             )
+        run_info = dict(phase_times, interrupted=False,
+                        warmup_done=warmup)
     else:
         # default path: host-chunked execution (GibbsProgram.
         # run_chains_chunked dispatches to the chain-blocked fused-sweep
@@ -689,9 +696,7 @@ def stan4bart(
             # a partial fit is still a valid fit: the warmup boundary is
             # however many warmup draws actually completed
             warmup = min(warmup, run_info["warmup_done"])
-    else:
-        # sharded/multihost dispatches run one fused program: phase split
-        # pro-rated by iteration counts
+    else:  # pragma: no cover — every dispatch path now reports run_info
         timings = dict(
             total=total_time,
             warmup=total_time * warmup / max(iter, 1),

@@ -1281,6 +1281,29 @@ class GibbsProgram:
 
     # ------------------------------------------------------------------
 
+    def _phase_body(self, is_warmup, callback=None):
+        def body(state, it):
+            state, draw = self.step(state, it, is_warmup)
+            out = callback(draw) if callback is not None else draw
+            return state, out
+        return body
+
+    def run_chain_warmup(self, rng, bart_offset_init=None,
+                         sigma_init=1.0, callback=None):
+        """Warmup phase of one chain (adaptation NOT yet disengaged).
+        The sharded/multihost drivers jit this and ``run_chain_sample``
+        as separate programs so per-phase wall clock is measured, not
+        pro-rated (the reference's warm/sample_delta_t,
+        interruptable_sampler.hpp:101-102)."""
+        state = self.init_state(rng, bart_offset_init, sigma_init)
+        return jax.lax.scan(self._phase_body(True, callback), state,
+                            jnp.arange(self.warmup))
+
+    def run_chain_sample(self, state, callback=None):
+        """Sampling phase of one chain from a (disengaged) state."""
+        return jax.lax.scan(self._phase_body(False, callback), state,
+                            jnp.arange(self.iterations))
+
     def run_chain(self, rng, bart_offset_init=None, sigma_init=1.0,
                   keep_warmup: bool = True, callback=None):
         """Run one full chain: warmup scan + sampling scan.
@@ -1289,22 +1312,10 @@ class GibbsProgram:
         place of the raw draw (the reference's streaming callback,
         init.cpp:849-911 / keep_fits=FALSE).
         """
-        state = self.init_state(rng, bart_offset_init, sigma_init)
-
-        def make_phase(is_warmup):
-            def body(state, it):
-                state, draw = self.step(state, it, is_warmup)
-                out = callback(draw) if callback is not None else draw
-                return state, out
-            return body
-
-        state, warm_draws = jax.lax.scan(
-            make_phase(True), state, jnp.arange(self.warmup)
-        )
+        state, warm_draws = self.run_chain_warmup(
+            rng, bart_offset_init, sigma_init, callback)
         state = self._disengage(state)
-        state, draws = jax.lax.scan(
-            make_phase(False), state, jnp.arange(self.iterations)
-        )
+        state, draws = self.run_chain_sample(state, callback)
         if keep_warmup:
             return state, jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b], axis=0),
@@ -1680,36 +1691,51 @@ class GibbsProgram:
             lambda *xs: np.concatenate(xs, axis=1), *pieces)
         return states, merged, info
 
+    def run_batched_warmup(self, keys, bart_offset_init=None,
+                           sigma_init=1.0, chain_block: int = 8):
+        """Warmup phase of the batch-explicit driver (chain-blocked
+        fused sweep); draws come back chain-major.  Adaptation NOT yet
+        disengaged — phase counterpart of ``run_chain_warmup``."""
+        states = jax.vmap(
+            lambda k: self.init_state(k, bart_offset_init, sigma_init)
+        )(keys)
+
+        def body(states, it):
+            return self.step_batched(states, it, True,
+                                     chain_block=chain_block)
+
+        states, warm = jax.lax.scan(body, states,
+                                    jnp.arange(self.warmup))
+        return states, jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), warm)
+
+    def run_batched_sample(self, states, chain_block: int = 8):
+        """Sampling phase of the batch-explicit driver."""
+        def body(states, it):
+            return self.step_batched(states, it, False,
+                                     chain_block=chain_block)
+
+        states, draws = jax.lax.scan(body, states,
+                                     jnp.arange(self.iterations))
+        return states, jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), draws)
+
     def run_chains_batched(self, keys, bart_offset_init=None,
                            sigma_init=1.0, keep_warmup: bool = True,
                            chain_block: int = 8):
         """All chains in one compiled program via the batch-explicit
         step (chain-blocked fused sweep).  Same semantics and RNG
         streams as ``vmap(run_chain)``; draws come back chain-major."""
-        states = jax.vmap(
-            lambda k: self.init_state(k, bart_offset_init, sigma_init)
-        )(keys)
-
-        def make_phase(is_warmup):
-            def body(states, it):
-                states, draw = self.step_batched(
-                    states, it, is_warmup, chain_block=chain_block)
-                return states, draw
-            return body
-
-        states, warm_draws = jax.lax.scan(
-            make_phase(True), states, jnp.arange(self.warmup))
+        states, warm_draws = self.run_batched_warmup(
+            keys, bart_offset_init, sigma_init, chain_block)
         states = self._disengage(states)
-        states, draws = jax.lax.scan(
-            make_phase(False), states, jnp.arange(self.iterations))
-        swap = lambda t: jax.tree_util.tree_map(  # noqa: E731
-            lambda a: jnp.swapaxes(a, 0, 1), t)
+        states, draws = self.run_batched_sample(states, chain_block)
         if keep_warmup:
             return states, jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b], axis=1),
-                swap(warm_draws), swap(draws),
+                warm_draws, draws,
             )
-        return states, swap(draws)
+        return states, draws
 
     def stan_names(self) -> list[str]:
         return [

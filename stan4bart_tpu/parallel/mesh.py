@@ -45,11 +45,39 @@ def chain_data_mesh(n_chain_shards: int, n_data_shards: int) -> Mesh:
     return Mesh(devices, ("chains", "data"))
 
 
-def run_chains_sharded(prog, keys, mesh: Mesh | None = None, **run_kwargs):
+def _timed_phases(prog, run_warmup, run_sample, keys, keep_warmup,
+                  timings, stack_axis):
+    """Shared two-program phase driver: run warmup, disengage, run
+    sampling, measuring REAL per-phase wall clock into ``timings`` (the
+    reference's warm/sample_delta_t; previously these drivers ran one
+    fused program and fit.timings pro-rated the split)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    states, warm = jax.block_until_ready(run_warmup(keys))
+    t1 = _time.perf_counter()
+    states = jax.jit(prog._disengage)(states)
+    states, samp = jax.block_until_ready(run_sample(states))
+    t2 = _time.perf_counter()
+    if timings is not None:
+        timings["warmup_s"] = t1 - t0
+        timings["sample_s"] = t2 - t1
+    if keep_warmup:
+        draws = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=stack_axis),
+            warm, samp)
+    else:
+        draws = samp
+    return states, draws
+
+
+def run_chains_sharded(prog, keys, mesh: Mesh | None = None,
+                       timings: dict | None = None, **run_kwargs):
     """Run one chain per key, sharded over the mesh's 'chains' axis.
 
     len(keys) must be a multiple of the mesh size (pad chains up if needed).
     Returns (final_states, draws) with leading chains axis, sharded.
+    timings: optional dict filled with measured warmup_s / sample_s.
     """
     if mesh is None:
         mesh = chain_mesh()
@@ -61,20 +89,29 @@ def run_chains_sharded(prog, keys, mesh: Mesh | None = None, **run_kwargs):
         )
     sharding = NamedSharding(mesh, P("chains"))
     keys = jax.device_put(keys, sharding)
-
-    def run_one(key):
-        return prog.run_chain(key, **run_kwargs)
+    keep_warmup = run_kwargs.pop("keep_warmup", True)
+    boi = run_kwargs.pop("bart_offset_init", None)
+    sigma_init = run_kwargs.pop("sigma_init", 1.0)
+    callback = run_kwargs.pop("callback", None)
 
     # the vmap axis name makes pooled-adaptation pmeans
     # (NutsConfig.pooled_axis="chains") global over ALL chains; GSPMD
     # lowers them to cross-device collectives over the mesh
-    run = jax.jit(jax.vmap(run_one, axis_name="chains"))
+    run_w = jax.jit(jax.vmap(
+        lambda k: prog.run_chain_warmup(k, boi, sigma_init, callback),
+        axis_name="chains"))
+    run_s = jax.jit(jax.vmap(
+        lambda s: prog.run_chain_sample(s, callback),
+        axis_name="chains"))
     with mesh:
-        return run(keys)
+        return _timed_phases(prog, run_w, run_s, keys, keep_warmup,
+                             timings, stack_axis=1)
 
 
 def run_chains_batched_sharded(prog, keys, mesh: Mesh | None = None,
-                               chain_block: int = 8, **run_kwargs):
+                               chain_block: int = 8,
+                               timings: dict | None = None,
+                               **run_kwargs):
     """Chain-sharded batch-explicit driver: each device runs the
     chain-blocked fused Pallas sweep (``GibbsProgram.run_chains_batched``)
     on its LOCAL chain shard under ``shard_map``.
@@ -115,18 +152,24 @@ def run_chains_batched_sharded(prog, keys, mesh: Mesh | None = None,
         )
     sharding = NamedSharding(mesh, P("chains"))
     keys = jax.device_put(keys, sharding)
+    keep_warmup = run_kwargs.pop("keep_warmup", True)
+    boi = run_kwargs.pop("bart_offset_init", None)
+    sigma_init = run_kwargs.pop("sigma_init", 1.0)
 
-    def local_run(local_keys):
-        return prog.run_chains_batched(
-            local_keys, chain_block=chain_block, **run_kwargs
-        )
-
-    run = jax.jit(jax.shard_map(
-        local_run, mesh=mesh, in_specs=P("chains"),
-        out_specs=P("chains"), check_vma=False,
+    run_w = jax.jit(jax.shard_map(
+        lambda k: prog.run_batched_warmup(k, boi, sigma_init,
+                                          chain_block),
+        mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+        check_vma=False,
+    ))
+    run_s = jax.jit(jax.shard_map(
+        lambda s: prog.run_batched_sample(s, chain_block),
+        mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+        check_vma=False,
     ))
     with mesh:
-        return run(keys)
+        return _timed_phases(prog, run_w, run_s, keys, keep_warmup,
+                             timings, stack_axis=1)
 
 
 def _obs_shard_inputs(prog, n_shards: int, bart_offset_init=None):

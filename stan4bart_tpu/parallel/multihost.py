@@ -101,12 +101,15 @@ def gather(tree):
 
 def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
                          gather_results: bool = True, chain_block: int = 8,
+                         timings: dict | None = None,
                          **run_kwargs):
     """Run one chain per key over the global device mesh.
 
     ``keys`` is the FULL (chains, 2) key array, identical on all processes
     (deterministic from the user seed).  Returns (final_states, draws);
     draws are gathered to full numpy on every host when gather_results.
+    timings: optional dict filled with measured warmup_s / sample_s
+    (warmup and sampling run as two compiled programs).
 
     When the program carries the fused Pallas sweep (``sweep_consts``) and
     no callback / pooled adaptation is in play, each device runs the
@@ -124,50 +127,65 @@ def run_chains_multihost(prog, keys, mesh: Mesh | None = None,
             f"chains ({chains}) must be a multiple of the global device "
             f"count ({n_dev})"
         )
+    from stan4bart_tpu.parallel.mesh import _timed_phases
+
     sharding = NamedSharding(mesh, P("chains"))
     global_keys = make_global(np.asarray(keys), sharding)
+    keep_warmup = run_kwargs.pop("keep_warmup", True)
+    boi = run_kwargs.pop("bart_offset_init", None)
+    sigma_init = run_kwargs.pop("sigma_init", 1.0)
+    callback = run_kwargs.pop("callback", None)
 
     use_batched = (
         prog.sweep_consts is not None
-        and run_kwargs.get("callback") is None
+        and callback is None
         and not getattr(prog.nuts_cfg, "pooled_axis", None)
     )
     if use_batched:
-        kw = {k: v for k, v in run_kwargs.items() if k != "callback"}
-
-        def local_run(local_keys):
-            return prog.run_chains_batched(
-                local_keys, chain_block=chain_block, **kw
-            )
-
-        run = jax.jit(jax.shard_map(
-            local_run, mesh=mesh, in_specs=P("chains"),
-            out_specs=P("chains"), check_vma=False,
+        run_w = jax.jit(jax.shard_map(
+            lambda k: prog.run_batched_warmup(k, boi, sigma_init,
+                                              chain_block),
+            mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+            check_vma=False,
+        ))
+        run_s = jax.jit(jax.shard_map(
+            lambda s: prog.run_batched_sample(s, chain_block),
+            mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+            check_vma=False,
         ))
     elif getattr(prog.nuts_cfg, "pooled_axis", None):
-        def run_one(key):
-            return prog.run_chain(key, **run_kwargs)
-
         # vmap axis name: pooled-adaptation pmeans (NutsConfig.pooled_axis)
         # span ALL chains globally — GSPMD lowers them to ICI/DCN
         # collectives (shard_map would split the axis in two)
-        run = jax.jit(jax.vmap(run_one, axis_name="chains"))
+        run_w = jax.jit(jax.vmap(
+            lambda k: prog.run_chain_warmup(k, boi, sigma_init,
+                                            callback),
+            axis_name="chains"))
+        run_s = jax.jit(jax.vmap(
+            lambda s: prog.run_chain_sample(s, callback),
+            axis_name="chains"))
     else:
-        def run_one(key):
-            return prog.run_chain(key, **run_kwargs)
-
         # shard_map, not bare GSPMD: with no cross-chain collectives the
         # partitioner is otherwise free to replicate parts of the scan
         # across processes — measured on the 2-process CPU proxy as
         # eff(2) stuck at ~0.65 regardless of program length; forcing
         # one chain shard per device recovers 0.81
         # (benchmarks/scaling_multiproc.py, SCALING_r03.json)
-        run = jax.jit(jax.shard_map(
-            jax.vmap(run_one), mesh=mesh, in_specs=P("chains"),
-            out_specs=P("chains"), check_vma=False,
+        run_w = jax.jit(jax.shard_map(
+            jax.vmap(lambda k: prog.run_chain_warmup(
+                k, boi, sigma_init, callback)),
+            mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+            check_vma=False,
+        ))
+        run_s = jax.jit(jax.shard_map(
+            jax.vmap(lambda s: prog.run_chain_sample(s, callback)),
+            mesh=mesh, in_specs=P("chains"), out_specs=P("chains"),
+            check_vma=False,
         ))
     with mesh:
-        final_states, draws = run(global_keys)
+        final_states, draws = _timed_phases(
+            prog, run_w, run_s, global_keys, keep_warmup, timings,
+            stack_axis=1)
     if gather_results:
         draws = gather(draws)
     return final_states, draws
