@@ -33,6 +33,13 @@ def _baseline_denominator():
         return REFERENCE_DRAWS_PER_S_EST, "estimate"
 
 N = 10_000
+# BENCH_FAMILY=binomial: the probit headline (test-02-binary.R is half
+# the reference's e2e surface; per-iteration cost differs — a truncated
+# -normal latent draw per observation per sweep, sigma pinned at 1).
+# The sigma watchlist coordinate does not exist there; node_scale
+# follows the reference's binary default 3.0 (stan4bart_fit.R:478)
+FAMILY = os.environ.get("BENCH_FAMILY", "gaussian")
+IS_BINARY = FAMILY == "binomial"
 # chains amortize fixed per-step cost (the NUTS while_loop is max-padded —
 # constant in the chain count); with the gram likelihood the sweep
 # dominates and the knee moved out: 64 -> 4277, 128 -> 4476, 256 -> 4625,
@@ -132,23 +139,27 @@ def main():
     )
 
     dtype = jnp.float32  # TPU-native precision for the bench
-    d = generate_friedman_data(N, ranef=True, causal=True)
+    d = generate_friedman_data(N, ranef=True, causal=not IS_BINARY,
+                               binary=IS_BINARY)
     df = friedman_dataframe(d)
     mf = build_model_frame(
         "y ~ bart(. - g.1 - g.2 - X4 - z) + X4 + z + (1 + X4 | g.1) "
-        "+ (1 | g.2)",
+        "+ (1 | g.2)" if not IS_BINARY else
+        "y ~ bart(. - g.1 - g.2 - X4) + X4 + (1 + X4 | g.1) + (1 | g.2)",
         df,
     )
     # centered ranef: identical posterior (pure reparameterization,
     # adjudicated against the non-centered chain and SMC), much better
     # NUTS geometry in the data-dominated n=10k regime
     pm, _, _ = build_parametric_model(
-        mf, "gaussian", {"centered_ranef": True}, dtype=dtype
+        mf, FAMILY, {"centered_ranef": True}, dtype=dtype
     )
     from stan4bart_tpu.ops.nuts import NutsConfig
 
+    bart_cfg = BartConfig(num_trees=NUM_TREES,
+                          node_scale=3.0 if IS_BINARY else 0.5)
     prog = GibbsProgram(
-        pm, BartConfig(num_trees=NUM_TREES), mf.y, mf.bart_X,
+        pm, bart_cfg, mf.y, mf.bart_X,
         warmup=WARMUP, iterations=CHUNK, dtype=dtype,
         skip_stan=SKIP_STAN, skip_bart=SKIP_BART,
         nuts_cfg=NutsConfig(freeze_rule=FREEZE, max_treedepth=MAXDEPTH,
@@ -175,7 +186,9 @@ def main():
         return state
 
     names = prog.stan_names()
-    sigma_row = names.index("aux.1")
+    # probit has no residual-sd coordinate; reuse lp in its telemetry
+    # slot so the chunk output shape is family-independent
+    sigma_row = names.index("aux.1") if not IS_BINARY else 0
     # slow-coordinate watchlist for min-ESS/s: a fixef, a ranef scale
     # (first theta_L diagonal), and a ranef coefficient — aggressive
     # treedepth caps must not hide a slow hierarchical coordinate
@@ -265,6 +278,8 @@ def main():
 
     ess_jit = jax.jit(ess)  # eager ops dispatch per-op through the tunnel
     watch = {"lp": 0, "sigma": 4, "beta": 5, "theta_L": 6, "b": 7}
+    if IS_BINARY:
+        watch.pop("sigma")
     ess_by = {
         k: float(ess_jit(np.concatenate(
             [np.asarray(p[i]) for p in pieces], axis=1).astype(np.float32)))
@@ -284,9 +299,10 @@ def main():
     denom, denom_kind = _baseline_denominator()
     print(f"# vs_baseline denominator: {denom} draws/s ({denom_kind})",
           file=sys.stderr)
+    fam_tag = "" if not IS_BINARY else " probit"
     print(json.dumps({
-        "metric": f"aggregate draws/s, Friedman n=10k, {CHAINS} chains, "
-                  f"{NUM_TREES} trees",
+        "metric": f"aggregate draws/s, Friedman n=10k{fam_tag}, "
+                  f"{CHAINS} chains, {NUM_TREES} trees",
         "value": round(draws_per_s, 3),
         "unit": "draws/s",
         "vs_baseline": round(draws_per_s / denom, 3),
@@ -297,6 +313,7 @@ def main():
         # self-describing (historical A/Bs were recorded under different
         # defaults; cross-config comparisons need these)
         "config": {
+            "family": FAMILY,
             "chains": CHAINS, "warmup": WARMUP, "maxdepth": MAXDEPTH,
             "freeze": FREEZE, "linear_gibbs": LINEAR_GIBBS,
             "level_gibbs": LEVEL_GIBBS, "leaf_gibbs": LEAF_GIBBS,

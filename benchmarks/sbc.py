@@ -134,10 +134,36 @@ CELLS = {
     "leaf_block": dict(formula=F_MULTI, binary=False, weights=False,
                        stan_args={"linear_gibbs": True,
                                   "level_gibbs": True, "leaf_block": 2}),
+    # ---- round-5 cells: the f32 FUSED-KERNEL production stack --------
+    # (the numeric stack that produces the chip headline: float32, the
+    # Mosaic sweep bodies in their exact interpret mode, maxdepth
+    # matching the production cap style).  Previously only the
+    # f64/XLA-sweep stack was rank-calibrated; the chip path was gated
+    # by correlation/ppd checks alone.
+    "kernel_f32": dict(formula=F_MULTI, binary=False, weights=False,
+                       dtype="float32", sweep_kernel=True,
+                       stan_args={"linear_gibbs": True,
+                                  "level_gibbs": True}),
+    "kernel_f32_probit": dict(formula=F_MULTI, binary=True,
+                              weights=False, dtype="float32",
+                              sweep_kernel=True,
+                              stan_args={"linear_gibbs": False,
+                                         "level_gibbs": False}),
+    # obs-tiled body via the chain-blocked batch driver (chain_block=1),
+    # tiled threshold forced below n so the grid-over-observation-tiles
+    # body is the one certified
+    "kernel_f32_tiled": dict(formula=F_MULTI, binary=False,
+                             weights=False, dtype="float32",
+                             sweep_kernel=True, driver="batched",
+                             env={"S4B_SWEEP_TILED_MIN_NPAD": "64"},
+                             stan_args={"linear_gibbs": True,
+                                        "level_gibbs": True}),
 }
 
 
 def build_cell(cell, seed=0):
+    for k, v in cell.get("env", {}).items():
+        os.environ[k] = v
     df = covariate_frame(N_OBS, seed)
     w = (np.linspace(0.5, 2.0, N_OBS) if cell["weights"] else None)
     mf = build_model_frame(cell["formula"], df, weights=w)
@@ -145,19 +171,27 @@ def build_cell(cell, seed=0):
     sa = dict(base_priors() if cell.get("prior_cov") != "lkj"
               else lkj_priors())
     sa.update(cell.get("stan_args", {}))
-    pm, resolved, _ = build_parametric_model(mf, family, sa)
+    dtype = jnp.dtype(cell.get("dtype", "float64"))
+    pm, resolved, _ = build_parametric_model(mf, family, sa, dtype=dtype)
     cfg = BartConfig(num_trees=8, max_depth=3, n_cuts=50,
                      node_scale=0.5, sigma_mu_fixed=SIGMA_MU)
     prog = GibbsProgram(
         pm, cfg, mf.y, mf.bart_X,
         weights=mf.weights if cell["weights"] else None,
-        warmup=WARMUP, iterations=ITERS,
+        warmup=WARMUP, iterations=ITERS, dtype=dtype,
+        sweep_kernel=cell.get("sweep_kernel", False),
         linear_gibbs=resolved.linear_gibbs,
         level_gibbs=resolved.level_gibbs,
         leaf_gibbs=resolved.leaf_gibbs,
         leaf_block=resolved.leaf_block,
         sigma_gibbs=resolved.sigma_gibbs,
     )
+    if cell.get("sweep_kernel"):
+        assert prog.sweep_interpret, "SBC kernel cells must run the " \
+            "exact interpret mode (CPU)"
+        if cell.get("driver") == "batched":
+            assert prog.sweep_tiled, "tiled cell must select the " \
+                "obs-tiled body (check S4B_SWEEP_TILED_MIN_NPAD)"
     return mf, pm, prog, cfg
 
 
@@ -174,7 +208,7 @@ def rank_quantities(pm, prog, cfg, binary):
     return names
 
 
-def make_rep_fn(mf, pm, prog, cfg, binary):
+def make_rep_fn(mf, pm, prog, cfg, binary, driver=None):
     T, M = cfg.num_trees, cfg.max_nodes
     stan_cols = {n: i for i, n in enumerate(prog.stan_names())}
     cnames = pm.constrained_names()
@@ -203,9 +237,17 @@ def make_rep_fn(mf, pm, prog, cfg, binary):
             sd = tp["aux"] / (jnp.sqrt(w) if w is not None else 1.0)
             y = eta + sd * eps
         prog.y = y  # traced argument via attribute capture
-        _, draws = prog.run_chain(kc, keep_warmup=False)
-        stan = draws.stan[THIN - 1 :: THIN]
-        ftr = draws.bart_train[THIN - 1 :: THIN]
+        if driver == "batched":
+            # chain-blocked batch driver at chain_block=1: the obs-tiled
+            # fused body (interpret mode = exact jax ops, vmappable)
+            _, draws = prog.run_chains_batched(
+                kc[None], keep_warmup=False, chain_block=1)
+            stan = draws.stan[0, THIN - 1 :: THIN]
+            ftr = draws.bart_train[0, THIN - 1 :: THIN]
+        else:
+            _, draws = prog.run_chain(kc, keep_warmup=False)
+            stan = draws.stan[THIN - 1 :: THIN]
+            ftr = draws.bart_train[THIN - 1 :: THIN]
         theta_vec = pm.constrained_draw(u_t)
         ranks = []
         for n in rnames:
@@ -236,7 +278,8 @@ def chi2_pvalue(ranks, n_values=L + 1, bins=BINS):
 
 def run_cell(name, cell, n_reps, seed, batch=8, verbose=True):
     mf, pm, prog, cfg = build_cell(cell, seed=seed)
-    rep, qnames = make_rep_fn(mf, pm, prog, cfg, cell["binary"])
+    rep, qnames = make_rep_fn(mf, pm, prog, cfg, cell["binary"],
+                              driver=cell.get("driver"))
     rep_batch = jax.jit(jax.vmap(rep))
     all_ranks = []
     t0 = time.time()
