@@ -1580,6 +1580,13 @@ class GibbsProgram:
         pieces = []
         info = {"warmup_s": 0.0, "sample_s": 0.0, "interrupted": False,
                 "warmup_done": 0, "sample_done": 0}
+        # closed-loop guard on the execution-time cap: _auto_chunk_size
+        # is an open-loop estimate from a per-(obs x tree x chain)
+        # constant measured on THIS chip class — a much slower backend
+        # would still exceed the ~60 s kill.  If a measured steady-state
+        # chunk (the 2nd of a phase onward: the 1st includes compile)
+        # projects past exec_budget_s, shrink the remaining chunks once.
+        exec_budget_s = float(os.environ.get("S4B_EXEC_BUDGET_S", "45"))
         try:
             for phase, fn, total in (("warmup", warm_fn, self.warmup),
                                      ("sample", samp_fn, self.iterations)):
@@ -1588,12 +1595,14 @@ class GibbsProgram:
                 if verbose > 0 and total > 0:
                     print(f"starting {phase}, {total} draws", flush=True)
                 next_print = refresh if refresh else None
-                for it0 in range(0, total, chunk_size):
-                    n = min(chunk_size, total - it0)
+                it0, chunk_i, cur, shrunk = 0, 0, chunk_size, False
+                while it0 < total:
+                    n = min(cur, total - it0)
                     t0 = time.perf_counter()
                     states, draws = jax.block_until_ready(
                         fn(states, it0, n))
-                    info[f"{phase}_s"] += time.perf_counter() - t0
+                    dt = time.perf_counter() - t0
+                    info[f"{phase}_s"] += dt
                     info[f"{phase}_done"] = it0 + n
                     if phase == "sample" or keep_warmup:
                         pieces.append(
@@ -1607,6 +1616,17 @@ class GibbsProgram:
                             next_print += refresh
                     elif verbose > 0:
                         print(f"  {phase} {it0 + n} / {total}", flush=True)
+                    it0 += n
+                    chunk_i += 1
+                    if (not shrunk and chunk_i >= 2 and it0 < total
+                            and dt > exec_budget_s and n > 1):
+                        cur = max(1, int(n * exec_budget_s / (2.0 * dt)))
+                        shrunk = True
+                        if verbose >= 0:
+                            print(
+                                f"  chunk took {dt:.0f}s > budget "
+                                f"{exec_budget_s:.0f}s: shrinking chunk "
+                                f"size {n} -> {cur}", flush=True)
         except KeyboardInterrupt:
             if not pieces:
                 raise

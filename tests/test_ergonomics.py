@@ -126,3 +126,18 @@ def test_predict_missing_column_friendly_error():
     good = dict(reversed(list(good.items())))
     p = fit.predict(good)
     assert np.all(np.isfinite(p))
+
+
+def test_exec_budget_feedback_shrinks_chunks(monkeypatch, capsys):
+    """Closed-loop chunk sizing (round-5): when a measured steady-state
+    chunk exceeds the execution budget, remaining chunks shrink — and
+    chunk boundaries never change the draws."""
+    kw = dict(chains=2, warmup=10, iter=24, seed=13, verbose=0,
+              bart_args={"n.trees": 4})
+    df = _df()
+    base = s4b.stan4bart(FORMULA, df, chunk_size=6, **kw)
+    monkeypatch.setenv("S4B_EXEC_BUDGET_S", "0.000001")
+    shrunk = s4b.stan4bart(FORMULA, df, chunk_size=6, **kw)
+    out = capsys.readouterr().out
+    assert "shrinking chunk size" in out
+    np.testing.assert_array_equal(base.draws.stan, shrunk.draws.stan)
