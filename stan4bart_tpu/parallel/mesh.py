@@ -283,7 +283,7 @@ def prepare_obs_inputs(prog, mesh: Mesh, bart_offset_init=None):
 def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
                     is_warmup: bool = False, state=None,
                     bart_offset_init=None, sigma_init: float = 1.0,
-                    prepared=None):
+                    prepared=None, it0: int = 0):
     """Run n_iters Gibbs iterations with chains sharded over 'chains' AND
     observations sharded over 'data' (2-D mesh), as an EXPLICIT
     ``shard_map`` program: every device holds one obs shard of
@@ -333,7 +333,7 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
 
     in_data_specs = jax.tree_util.tree_map(lambda _: P("data"), inputs)
 
-    def local_body(local_keys, local_data, local_state):
+    def local_body(local_keys, local_data, local_state, it_start):
         lprog = prog.local_view(
             local_data, axis="data", scale_y=meta["scale_y"],
             inv_mass0=meta["inv_mass0"], n_global_pad=Np,
@@ -351,7 +351,12 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
                 in_axes=(0, None),
             )(st, it)
 
-        return jax.lax.scan(step_all, st, jnp.arange(n_iters))
+        # it_start is a TRACED in-phase offset so chunked execution
+        # (run_chains_obs_sharded) keeps the adaptation/rescale
+        # schedules on the true iteration index without a recompile
+        # per chunk
+        return jax.lax.scan(step_all, st,
+                            jnp.arange(n_iters) + it_start)
 
     # output structures (field names drive the specs — obs-sized dims are
     # not identified by size, which collides at tiny shapes)
@@ -365,21 +370,22 @@ def run_obs_sharded(prog, keys, mesh: Mesh, n_iters: int,
     state_specs = _obs_state_specs(st_struct)
     draw_specs = _obs_draw_specs(dr_struct)
 
+    it_start = jnp.asarray(int(it0), dtype=jnp.int32)
     with mesh:
         if state is None:
             run = jax.jit(jax.shard_map(
-                lambda k, d: local_body(k, d, None), mesh=mesh,
-                in_specs=(P("chains"), in_data_specs),
+                lambda k, d, i0: local_body(k, d, None, i0), mesh=mesh,
+                in_specs=(P("chains"), in_data_specs, P()),
                 out_specs=(state_specs, draw_specs), check_vma=False,
             ))
-            out_state, draws = run(keys, inputs)
+            out_state, draws = run(keys, inputs, it_start)
         else:
             run = jax.jit(jax.shard_map(
-                lambda k, d, s: local_body(k, d, s), mesh=mesh,
-                in_specs=(P("chains"), in_data_specs, state_specs),
+                lambda k, d, s, i0: local_body(k, d, s, i0), mesh=mesh,
+                in_specs=(P("chains"), in_data_specs, state_specs, P()),
                 out_specs=(state_specs, draw_specs), check_vma=False,
             ))
-            out_state, draws = run(keys, inputs, state)
+            out_state, draws = run(keys, inputs, state, it_start)
     if Np != prog.N:
         draws = draws._replace(bart_train=draws.bart_train[..., :prog.N])
     return out_state, draws
@@ -418,7 +424,7 @@ def run_chains_obs_sharded(prog, keys, mesh: Mesh, bart_offset_init=None,
                 state, d = run_obs_sharded(
                     prog, keys, mesh, n, is_warmup=is_warmup,
                     state=state, sigma_init=sigma_init,
-                    prepared=prepared,
+                    prepared=prepared, it0=done,
                 )
                 jax.block_until_ready(d.stan)
                 pieces.append(d)

@@ -214,3 +214,22 @@ def test_single_psum_per_tree_update(prog):
     assert txt.count("psum") == 1, (
         f"expected exactly 1 psum site in the per-tree sweep body, "
         f"found {txt.count('psum')}")
+
+
+def test_obs_sharded_chunked_equals_whole():
+    """chunk_size through the public API on the obs-sharded dispatch:
+    chunked execution threads the padded state between device
+    executions (round-5, for time-capped backends) and must not change
+    the draws."""
+    import stan4bart_tpu as s4b
+
+    d = generate_friedman_data(64, ranef=True)
+    df = friedman_dataframe(d)
+    kw = dict(chains=2, warmup=8, iter=20, seed=9, verbose=-1,
+              bart_args={"n.trees": 3}, stan_args={"obs_shards": 4})
+    f1 = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df, **kw)
+    f2 = s4b.stan4bart("y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
+                       chunk_size=5, **kw)
+    np.testing.assert_array_equal(np.asarray(f1.draws.stan),
+                                  np.asarray(f2.draws.stan))
+    assert f2.timings["warmup"] > 0 and f2.timings["sample"] > 0
