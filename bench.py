@@ -244,16 +244,42 @@ def main():
                                    axis_name="chains"))
         sample_fn = jax.jit(jax.vmap(sample, axis_name="chains"))
 
-    def with_retry(fn, *args, tries=3, label=""):
+    def with_retry(fn, *args, tries=3, label="", timeout_s=600):
+        # the axon tunnel can LOSE an RPC response (observed once this
+        # round: a bench process slept forever inside one blocking
+        # call, while a fresh process's calls worked fine) — so each
+        # attempt runs under a watchdog thread and a hung call is
+        # abandoned and retried rather than wedging the whole bench
+        import threading
+
         for attempt in range(tries):
-            try:
-                return jax.block_until_ready(fn(*args))
-            except Exception as e:  # remote-compile infra can be flaky
-                print(f"# {label} attempt {attempt + 1} failed: {e}",
+            result = {}
+
+            def call():
+                try:
+                    result["value"] = jax.block_until_ready(fn(*args))
+                except Exception as e:
+                    result["error"] = e
+
+            th = threading.Thread(target=call, daemon=True)
+            th.start()
+            th.join(timeout_s)
+            if th.is_alive():
+                print(f"# {label} attempt {attempt + 1} timed out "
+                      f"after {timeout_s}s (lost tunnel RPC?); "
+                      "abandoning the call and retrying",
                       file=sys.stderr)
+                continue
+            if "error" in result:  # remote-compile infra can be flaky
+                print(f"# {label} attempt {attempt + 1} failed: "
+                      f"{result['error']}", file=sys.stderr)
                 if attempt == tries - 1:
-                    raise
+                    raise result["error"]
                 time.sleep(5)
+                continue
+            return result["value"]
+        raise RuntimeError(
+            f"{label}: all {tries} attempts hung or failed")
 
     states = with_retry(init_fn, keys, label="init")
     for w0 in range(0, WARMUP, CHUNK):
