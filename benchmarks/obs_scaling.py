@@ -121,6 +121,37 @@ def count_collective_sites(prog, trees):
     }
 
 
+def run_multiproc_cell(n, trees, iters, port=12731):
+    """Spawn the 2-process x 2-obs-shard timing cell (see
+    benchmarks/_obs_mp_worker.py); returns its row dict (or error)."""
+    import subprocess
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(), "mp_obs.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_obs_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out,
+             str(n), str(trees), str(iters)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1800)
+        logs.append(stdout.decode())
+    if any(p.returncode != 0 for p in procs):
+        return {"error": "worker failure", "logs": logs}
+    with open(out) as fh:
+        return json.load(fh)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=49152)
@@ -128,6 +159,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--chains", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--multiproc", action="store_true",
+                    help="append the 2-process x 2-obs-shard global-"
+                         "mesh timing row")
     args = ap.parse_args()
 
     prog = build_prog(args.n, args.trees, args.iters)
@@ -151,6 +185,9 @@ def main():
                    "backend": "cpu-proxy (8 virtual devices, x64)"},
         "obs_sharded": rows,
         "collectives": count_collective_sites(prog, args.trees),
+        "multiproc_2x2": (run_multiproc_cell(args.n, args.trees,
+                                             args.iters)
+                          if args.multiproc else None),
         "note": (
             "WALL-CLOCK CONFOUND, measured: XLA:CPU virtual devices "
             "share ONE intra-op thread pool spanning all 4 physical "
