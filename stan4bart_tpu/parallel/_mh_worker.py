@@ -77,10 +77,12 @@ def main():
     # DCN x 2 obs shards within each process's devices); every
     # sufficient statistic psums over 'data' while draws all-gather
     # at the end (round-5 composition of the two multi-chip axes)
+    # chunk_size exercises the chunked obs-sharded loop (state threading
+    # + traced it0 offset) across processes, not just single-process
     fit_obs = s4b.stan4bart(
         "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
         chains=2, warmup=10, iter=25, seed=43, verbose=-1,
-        bart_args={"n.trees": 4},
+        chunk_size=5, bart_args={"n.trees": 4},
         stan_args={"obs_shards": 2},
     )
     ev_obs = fit_obs.extract("ev")

@@ -97,7 +97,7 @@ def test_two_process_matches_single_process(tmp_path):
     fit_obs = s4b.stan4bart(
         "y ~ bart(X1+X2) + X4 + (1 | g.2)", df,
         chains=2, warmup=10, iter=25, seed=43, verbose=-1,
-        bart_args={"n.trees": 4},
+        chunk_size=5, bart_args={"n.trees": 4},
         stan_args={"obs_shards": 2},
     )
     np.testing.assert_allclose(data["stan_obs"],
